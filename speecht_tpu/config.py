@@ -1,0 +1,132 @@
+"""Typed configuration for all speechT-TPU subcommands.
+
+Capability parity with the reference flag system (reference: speecht-cli:37-139
+— argparse base parser + per-subcommand flags). Here flags live in frozen-ish
+dataclasses so executors, jitted train steps and tests share one typed config
+object; the CLI (speecht_tpu/cli.py) parses argv into these.
+
+Additions over the reference (TPU-native surface):
+- mesh / parallelism flags (``data_parallel``, ``model_parallel``) — the
+  reference is single-GPU (SURVEY.md §2c), the rebuild is mesh-first.
+- precision flags (``compute_dtype``) — bfloat16 matmuls on the MXU.
+- bucketing flags for static-shape jit batching.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+
+@dataclass
+class BaseConfig:
+    """Flags shared by every subcommand (reference speecht-cli:37-54)."""
+
+    feature_type: str = "power"  # 'power' (128 mel) or 'mfcc' (13+Δ+ΔΔ = 39)
+    batch_size: int = 64
+    run_name: str = "noname"
+    data_dir: str = "data"
+    train_dir: str = "train"
+    log_dir: str = "log"
+
+    # Derived (reference speecht-cli:141-159)
+    command: str = ""
+    run_type: str = "other"
+
+    # TPU-native additions
+    data_parallel: int = 0  # 0 = use all devices on the data axis
+    model_parallel: int = 1  # channel-TP over the 2000-wide layers
+    compute_dtype: str = "bfloat16"  # conv compute dtype (params stay f32)
+    max_input_frames: int = 0  # 0 = unlimited; else skip longer utterances
+    bucket_step: int = 256  # pad time to multiples of this (jit shape reuse)
+
+    @property
+    def run_train_dir(self) -> str:
+        return f"{self.train_dir}/{self.run_name}"
+
+    @property
+    def input_size_for_features(self) -> int:
+        return 39 if self.feature_type == "mfcc" else 128
+
+
+@dataclass
+class LanguageModelConfig:
+    """Beam-search LM flags (reference speecht-cli:84-101).
+
+    The three weights are *runtime inputs* to decoding, never baked into a
+    compiled graph — required by parameter search (reference
+    speecht/parameter_search.py:80-85).
+    """
+
+    language_model: str | None = None  # dir with arpa/vocabulary files
+    lm_weight: float = 0.8
+    word_count_weight: float = 0.0
+    valid_word_count_weight: float = 2.3
+    beam_width: int = 100
+
+
+@dataclass
+class TrainConfig(BaseConfig):
+    """`train` flags (reference speecht-cli:66-82)."""
+
+    learning_rate: float = 1e-4
+    reset_learning_rate: bool = False
+    learning_rate_decay_factor: float = 0.0
+    momentum: float = 0.9
+    max_gradient_norm: float = 5.0
+    limit_training_set: int = 0
+    steps_per_checkpoint: int = 1000
+    epsilon: float = 1e-3  # Adam epsilon (reference speech_model.py:77)
+    run_type: str = "train"
+
+
+@dataclass
+class EvalConfig(BaseConfig):
+    """`evaluate` flags (reference speecht-cli:103-114)."""
+
+    dataset: str = "test"  # 'dev' or 'test'
+    should_save: bool = True
+    step_count: int = 0
+    lm: LanguageModelConfig = field(default_factory=LanguageModelConfig)
+
+
+@dataclass
+class RecordConfig(BaseConfig):
+    """`record` flags (reference speecht-cli:116-122)."""
+
+    input_size: int = 128
+    lm: LanguageModelConfig = field(default_factory=LanguageModelConfig)
+    run_type: str = "record"
+
+
+@dataclass
+class SearchConfig(BaseConfig):
+    """`search` flags (reference speecht-cli:133-143)."""
+
+    population_size: int = 10
+    noise_std: float = 0.5
+    use_ui: bool = False
+    lm: LanguageModelConfig = field(default_factory=LanguageModelConfig)
+
+
+@dataclass
+class PreprocessConfig(BaseConfig):
+    """`preprocess` flags (reference speecht-cli:124-131)."""
+
+    train_only: bool = False
+    test_only: bool = False
+    dev_only: bool = False
+    num_workers: int = 0  # 0 = cpu_count
+
+
+@dataclass
+class ExportConfig(BaseConfig):
+    """`export` flags (reference speecht-cli:56-63)."""
+
+    export_weights_dir: str | None = None
+    input_size: int = 128
+
+
+def replace(cfg, **kw):
+    """dataclasses.replace passthrough (convenience for tests)."""
+    return dataclasses.replace(cfg, **kw)

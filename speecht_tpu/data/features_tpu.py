@@ -1,0 +1,205 @@
+"""On-device (JAX/XLA) acoustic feature extraction for TPU.
+
+TPU-native counterpart to :mod:`speecht_tpu.data.features` (whose numerics
+mirror reference speecht/preprocessing.py:36-84). Here the whole pipeline —
+framing -> rFFT -> mel filterbank -> dB -> normalize — is a single jitted
+function over *padded batches* of raw audio, so feature extraction runs on
+the TPU (framing is a gather, the mel projection is an MXU matmul) instead
+of a host-side librosa loop.
+
+Padding discipline: callers pass ``audio [B, Smax]`` plus ``num_samples
+[B]``; every statistic that the reference computes per-utterance globally
+(power_to_db's ref=max, the mean/std normalization — preprocessing.py:53,:29)
+is computed here under a valid-frame mask so padded batches reproduce the
+unpadded numerics exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speecht_tpu.data import features as host_features
+
+
+@functools.lru_cache(maxsize=8)
+def _mel_matrix(sr: int, n_fft: int, n_mels: int) -> np.ndarray:
+    # [1 + n_fft//2, n_mels] so the projection is frames @ mel (MXU-friendly)
+    return host_features.mel_filterbank(sr, n_fft, n_mels=n_mels).T.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _dct_matrix(n_mfcc: int, n_mels: int) -> np.ndarray:
+    # [n_mels, n_mfcc]
+    return host_features.dct_basis(n_mfcc, n_mels).T.astype(np.float32)
+
+
+def num_frames(num_samples, hop_length: int = 160):
+    """Frame count for a centered STFT: 1 + n_samples // hop."""
+    return 1 + num_samples // hop_length
+
+
+def _frame_batch(
+    audio: jax.Array, num_samples: jax.Array, n_fft: int, hop_length: int
+) -> jax.Array:
+    """[B, S] -> [B, n_frames, n_fft] frames of the center-padded signal.
+
+    Center-padding reflects at *each utterance's own* boundary (the valid
+    length from ``num_samples``), not the padded batch edge, so a padded
+    batch reproduces single-utterance numerics exactly. Reflection uses
+    numpy-'reflect' semantics (no repeated edge sample) via modular index
+    arithmetic: fold position q into [0, 2n-2) and take min(q, 2n-2-q).
+    """
+    pad = n_fft // 2
+    n_frames = 1 + audio.shape[1] // hop_length
+    # q[t, k]: sample position of window element k of frame t, may be
+    # negative (left pad) or >= n (right pad).
+    q = (
+        hop_length * jnp.arange(n_frames, dtype=jnp.int32)[:, None]
+        + jnp.arange(n_fft, dtype=jnp.int32)[None, :]
+        - pad
+    )
+    n = num_samples.astype(jnp.int32)[:, None, None]  # [B, 1, 1]
+    period = 2 * n - 2
+    qm = jnp.mod(q[None, :, :], period)  # non-negative fold
+    r = jnp.minimum(qm, period - qm)  # [B, T, n_fft]
+    return jnp.take_along_axis(
+        audio[:, None, :], r, axis=2
+    )
+
+
+def _masked_moments(x: jax.Array, mask: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Mean/std of x over positions where mask (broadcastable) is true."""
+    # mask is [B, T, 1]-broadcastable against x [B, T, F]
+    m = jnp.broadcast_to(mask, x.shape)
+    count = jnp.sum(m, axis=(1, 2), keepdims=True)
+    mean = jnp.sum(x * m, axis=(1, 2), keepdims=True) / count
+    var = jnp.sum(jnp.square(x - mean) * m, axis=(1, 2), keepdims=True) / count
+    return mean, jnp.sqrt(var)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_mels", "n_fft", "hop_length", "sr")
+)
+def batch_power_spectrogram(
+    audio: jax.Array,
+    num_samples: jax.Array,
+    sr: int = 22050,
+    n_mels: int = 128,
+    n_fft: int = 512,
+    hop_length: int = 160,
+) -> tuple[jax.Array, jax.Array]:
+    """Batched normalized log-mel spectrogram on device.
+
+    Args:
+      audio: [B, Smax] float32 raw audio, zero-padded.
+      num_samples: [B] int32 valid sample counts.
+
+    Returns:
+      (features [B, Tmax, n_mels] float32, frame_lengths [B] int32); frames
+      beyond each utterance's length are zeroed.
+    """
+    frames = _frame_batch(audio.astype(jnp.float32), num_samples, n_fft, hop_length)
+    window = jnp.asarray(host_features.hann_window(n_fft), dtype=jnp.float32)
+    spec = jnp.fft.rfft(frames * window, n=n_fft, axis=-1)
+    power = jnp.square(jnp.abs(spec)).astype(jnp.float32)  # [B, T, F]
+
+    mel = jnp.asarray(_mel_matrix(sr, n_fft, n_mels))
+    mel_power = jnp.einsum(
+        "btf,fm->btm", power, mel, preferred_element_type=jnp.float32
+    )
+
+    frame_lengths = num_frames(num_samples, hop_length).astype(jnp.int32)
+    t = jnp.arange(mel_power.shape[1], dtype=jnp.int32)
+    mask = (t[None, :] < frame_lengths[:, None])[..., None]  # [B, T, 1]
+
+    amin = 1e-10
+    log_spec = 10.0 * jnp.log10(jnp.maximum(amin, mel_power))
+    # per-utterance ref = masked max (reference power_to_db ref=np.max)
+    neg_inf = jnp.float32(-1e30)
+    masked_log = jnp.where(mask, log_spec, neg_inf)
+    ref_db = jnp.max(masked_log, axis=(1, 2), keepdims=True)
+    log_spec = log_spec - ref_db
+    # top_db=80 floor relative to the (now 0) max
+    log_spec = jnp.maximum(log_spec, -80.0)
+
+    mean, std = _masked_moments(log_spec, mask)
+    out = (log_spec - mean) / std
+    return jnp.where(mask, out, 0.0), frame_lengths
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_mfcc", "n_fft", "hop_length", "sr")
+)
+def batch_mfccs(
+    audio: jax.Array,
+    num_samples: jax.Array,
+    sr: int = 22050,
+    n_mfcc: int = 13,
+    n_fft: int = 512,
+    hop_length: int = 160,
+) -> tuple[jax.Array, jax.Array]:
+    """Batched MFCC + delta + delta-delta features on device, [B, T, 3*n_mfcc]."""
+    n_mels = 128
+    frames = _frame_batch(audio.astype(jnp.float32), num_samples, n_fft, hop_length)
+    window = jnp.asarray(host_features.hann_window(n_fft), dtype=jnp.float32)
+    spec = jnp.fft.rfft(frames * window, n=n_fft, axis=-1)
+    power = jnp.square(jnp.abs(spec)).astype(jnp.float32)
+    mel = jnp.asarray(_mel_matrix(sr, n_fft, n_mels))
+    mel_power = jnp.einsum(
+        "btf,fm->btm", power, mel, preferred_element_type=jnp.float32
+    )
+
+    frame_lengths = num_frames(num_samples, hop_length).astype(jnp.int32)
+    t = jnp.arange(mel_power.shape[1], dtype=jnp.int32)
+    mask = (t[None, :] < frame_lengths[:, None])[..., None]
+
+    amin = 1e-10
+    log_spec = 10.0 * jnp.log10(jnp.maximum(amin, mel_power))  # ref=1.0
+    masked_log = jnp.where(mask, log_spec, -1e30)
+    peak = jnp.max(masked_log, axis=(1, 2), keepdims=True)
+    log_spec = jnp.maximum(log_spec, peak - 80.0)
+
+    dct = jnp.asarray(_dct_matrix(n_mfcc, n_mels))
+    mfcc = jnp.einsum(
+        "btm,mk->btk", log_spec, dct, preferred_element_type=jnp.float32
+    )  # [B, T, n_mfcc]
+
+    def _delta(x):
+        # HTK regression window width=9 along time with edge padding,
+        # matching host_features.delta.
+        half = 4
+        n = jnp.arange(1, half + 1, dtype=jnp.float32)
+        denom = 2.0 * jnp.sum(n**2)
+        xp = jnp.pad(x, ((0, 0), (half, half), (0, 0)), mode="edge")
+        acc = jnp.zeros_like(x)
+        T = x.shape[1]
+        for i in range(1, half + 1):
+            acc = acc + n[i - 1] * (
+                xp[:, half + i : half + i + T] - xp[:, half - i : half - i + T]
+            )
+        return acc / denom
+
+    # Deltas must see only valid frames' edge values; emulate per-utterance
+    # edge padding by clamping gather indices to the valid range.
+    def _clamped(x):
+        idx = jnp.minimum(
+            jnp.arange(x.shape[1], dtype=jnp.int32)[None, :],
+            frame_lengths[:, None] - 1,
+        )
+        return jnp.take_along_axis(x, idx[..., None], axis=1)
+
+    mfcc_c = _clamped(mfcc)
+    d1 = _delta(mfcc_c)
+    # clamp again so the second delta sees edge values, not stale rows
+    d2 = _delta(_clamped(d1))
+
+    def _norm(x):
+        mean, std = _masked_moments(x, mask)
+        return (x - mean) / std
+
+    out = jnp.concatenate((_norm(mfcc_c), _norm(d1), _norm(d2)), axis=-1)
+    return jnp.where(mask, out, 0.0), frame_lengths

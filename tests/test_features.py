@@ -1,0 +1,146 @@
+"""Feature extraction tests.
+
+Golden-value checks of the host DSP (definitions mirroring reference
+speecht/preprocessing.py:29-84) and host<->device consistency of the jitted
+TPU pipeline on padded batches.
+"""
+
+import numpy as np
+import pytest
+
+from speecht_tpu.data import features as F
+
+
+def _tone(sr=22050, seconds=0.5, freq=440.0):
+    t = np.arange(int(sr * seconds)) / sr
+    return (0.5 * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+def test_hann_window_periodic():
+    w = F.hann_window(8)
+    # periodic hann: w[0] == 0, symmetric around n/2
+    assert w[0] == pytest.approx(0.0)
+    assert w[4] == pytest.approx(1.0)
+    assert w[1] == pytest.approx(w[7])
+
+
+def test_frame_count():
+    y = np.zeros(16000, dtype=np.float32)
+    frames = F.frame_signal(y, 512, 160)
+    assert frames.shape == (1 + 16000 // 160, 512)
+
+
+def test_mel_filterbank_shape_and_coverage():
+    fb = F.mel_filterbank(22050, 512, n_mels=128)
+    assert fb.shape == (128, 257)
+    # every filter has nonzero support
+    assert (fb.sum(axis=1) > 0).all()
+    # slaney normalization: filter peak amplitudes decrease with bandwidth
+    assert fb.max() < 0.1
+
+
+def test_power_to_db_ref_max_and_topdb():
+    S = np.array([[1.0, 0.1], [1e-12, 0.5]])
+    db = F.power_to_db(S, ref=None)
+    assert db.max() == pytest.approx(0.0)
+    assert db.min() >= -80.0 - 1e-9
+
+
+def test_power_spectrogram_shape_and_norm():
+    y = _tone()
+    feats = F.calc_power_spectrogram(y, 22050)
+    n_frames = 1 + len(y) // 160
+    assert feats.shape == (n_frames, 128)
+    assert feats.mean() == pytest.approx(0.0, abs=1e-5)
+    assert feats.std() == pytest.approx(1.0, abs=1e-4)
+
+
+def test_power_spectrogram_peak_at_tone_frequency():
+    sr, freq = 22050, 1000.0
+    y = _tone(sr=sr, freq=freq)
+    S = F.melspectrogram(y, sr)
+    peak_mel = int(S[:, 10:-10].mean(axis=1).argmax())
+    # mel bin center nearest 1000 Hz
+    mel_centers = F.mel_to_hz(
+        np.linspace(F.hz_to_mel(0), F.hz_to_mel(sr / 2), 130)
+    )[1:-1]
+    expected = int(np.abs(mel_centers - freq).argmin())
+    assert abs(peak_mel - expected) <= 1
+
+
+def test_mel_scale_roundtrip():
+    hz = np.array([0.0, 200.0, 999.0, 1000.0, 4000.0, 11025.0])
+    np.testing.assert_allclose(F.mel_to_hz(F.hz_to_mel(hz)), hz, rtol=1e-10)
+
+
+def test_mfcc_shape_and_blockwise_norm():
+    y = _tone()
+    feats = F.calc_mfccs(y, 22050)
+    n_frames = 1 + len(y) // 160
+    assert feats.shape == (n_frames, 39)
+    for block in range(3):
+        blk = feats[:, block * 13 : (block + 1) * 13]
+        assert blk.mean() == pytest.approx(0.0, abs=1e-5)
+        assert blk.std() == pytest.approx(1.0, abs=1e-4)
+
+
+def test_delta_of_linear_ramp():
+    # delta of a linear function == its slope
+    x = np.arange(30, dtype=np.float64)[None, :] * 2.0
+    d = F.delta(x, width=9, order=1)
+    np.testing.assert_allclose(d[0, 4:-4], 2.0, atol=1e-9)
+
+
+def test_dct_basis_orthonormal():
+    B = F.dct_basis(13, 128)
+    full = F.dct_basis(128, 128)
+    np.testing.assert_allclose(full @ full.T, np.eye(128), atol=1e-10)
+    np.testing.assert_allclose(B, full[:13])
+
+
+class TestDeviceFeatureParity:
+    """The jitted TPU feature path must match the host path on padded batches."""
+
+    def test_power_matches_host(self):
+        from speecht_tpu.data import features_tpu as FT
+
+        rng = np.random.RandomState(0)
+        lengths = [8000, 12800]
+        batch = np.zeros((2, 12800), dtype=np.float32)
+        for i, n in enumerate(lengths):
+            batch[i, :n] = rng.randn(n).astype(np.float32) * 0.1
+
+        feats, frame_lens = FT.batch_power_spectrogram(
+            batch, np.array(lengths, dtype=np.int32)
+        )
+        feats = np.asarray(feats)
+        for i, n in enumerate(lengths):
+            host = F.calc_power_spectrogram(batch[i, :n], 22050)
+            T = host.shape[0]
+            assert int(frame_lens[i]) == T
+            np.testing.assert_allclose(
+                feats[i, :T], host, atol=1e-2, rtol=1e-2
+            )
+            if feats.shape[1] > T:
+                assert np.abs(feats[i, T:]).max() == 0.0
+
+    def test_mfcc_matches_host(self):
+        from speecht_tpu.data import features_tpu as FT
+
+        rng = np.random.RandomState(1)
+        lengths = [6400, 9600]
+        batch = np.zeros((2, 9600), dtype=np.float32)
+        for i, n in enumerate(lengths):
+            batch[i, :n] = rng.randn(n).astype(np.float32) * 0.1
+
+        feats, frame_lens = FT.batch_mfccs(
+            batch, np.array(lengths, dtype=np.int32)
+        )
+        feats = np.asarray(feats)
+        for i, n in enumerate(lengths):
+            host = F.calc_mfccs(batch[i, :n], 22050)
+            T = host.shape[0]
+            assert int(frame_lens[i]) == T
+            np.testing.assert_allclose(
+                feats[i, :T], host, atol=1e-2, rtol=1e-2
+            )
