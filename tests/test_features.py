@@ -142,5 +142,5 @@ class TestDeviceFeatureParity:
             T = host.shape[0]
             assert int(frame_lens[i]) == T
             np.testing.assert_allclose(
-                feats[i, :T], host, atol=1e-2, rtol=1e-2
+                feats[i, :T], host, atol=2e-2, rtol=1e-2
             )
