@@ -1,0 +1,208 @@
+"""ctypes bindings for the speecht_native C++ runtime.
+
+Builds ``libspeecht_native.so`` from the in-repo C++ sources on first use
+(g++ -O3, cached next to the sources; rebuilt when source mtime changes) and
+exposes:
+
+- :func:`flac_decode` — FLAC file -> (mono float32 ndarray, sample_rate)
+- :func:`resample` — Kaiser windowed-sinc resampling
+- :func:`load_audio` — flac decode + resample to target sr (capability parity
+  with ``librosa.load`` as used at reference speecht/preprocessing.py:168)
+- :func:`levenshtein` — edit distance over token sequences (parity with the
+  ``editdistance`` C++ pip extension, reference speecht/evaluation.py:41-43)
+
+Pure-Python fallbacks exist only for levenshtein (tiny inputs in tests);
+audio decoding requires the native library — the C++ toolchain is a declared
+platform dependency of this framework.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SOURCES = ["speecht_native.cpp", "beam_search.cpp"]
+_LIB_PATH = os.path.join(_HERE, "libspeecht_native.so")
+
+_lock = threading.Lock()
+_lib = None
+
+
+class NativeBuildError(RuntimeError):
+    pass
+
+
+def _needs_rebuild() -> bool:
+    if not os.path.exists(_LIB_PATH):
+        return True
+    lib_mtime = os.path.getmtime(_LIB_PATH)
+    for src in _SOURCES:
+        p = os.path.join(_HERE, src)
+        if os.path.exists(p) and os.path.getmtime(p) > lib_mtime:
+            return True
+    return False
+
+
+def build(force: bool = False) -> str:
+    """Compile the native library if needed; returns the .so path."""
+    with _lock:
+        if not force and not _needs_rebuild():
+            return _LIB_PATH
+        srcs = [
+            os.path.join(_HERE, s)
+            for s in _SOURCES
+            if os.path.exists(os.path.join(_HERE, s))
+        ]
+        cmd = [
+            "g++",
+            "-O3",
+            "-std=c++17",
+            "-shared",
+            "-fPIC",
+            "-fvisibility=default",
+            "-o",
+            _LIB_PATH,
+            *srcs,
+        ]
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        if proc.returncode != 0:
+            raise NativeBuildError(
+                f"native build failed:\n{' '.join(cmd)}\n{proc.stderr}"
+            )
+        return _LIB_PATH
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    path = build()
+    lib = ctypes.CDLL(path)
+
+    lib.st_flac_decode_file.restype = ctypes.c_int
+    lib.st_flac_decode_file.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.st_resample.restype = ctypes.c_int
+    lib.st_resample.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.c_double,
+        ctypes.c_double,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.st_levenshtein_i32.restype = ctypes.c_int64
+    lib.st_levenshtein_i32.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+    ]
+    lib.st_free.restype = None
+    lib.st_free.argtypes = [ctypes.c_void_p]
+
+    _lib = lib
+    return lib
+
+
+def _take_float_buffer(lib, ptr, count: int) -> np.ndarray:
+    arr = np.ctypeslib.as_array(ptr, shape=(count,)).copy()
+    lib.st_free(ptr)
+    return arr
+
+
+def flac_decode(path: str) -> tuple[np.ndarray, int]:
+    """Decode a FLAC file to mono float32 in [-1, 1) at its native rate."""
+    lib = _load()
+    out = ctypes.POINTER(ctypes.c_float)()
+    n = ctypes.c_int64()
+    sr = ctypes.c_int32()
+    rc = lib.st_flac_decode_file(
+        path.encode(), ctypes.byref(out), ctypes.byref(n), ctypes.byref(sr)
+    )
+    if rc != 0:
+        raise ValueError(f"FLAC decode failed for {path} (code {rc})")
+    return _take_float_buffer(lib, out, n.value), int(sr.value)
+
+
+def resample(audio: np.ndarray, sr_in: float, sr_out: float) -> np.ndarray:
+    """Windowed-sinc resample; output length ceil(n * sr_out / sr_in)."""
+    lib = _load()
+    audio = np.ascontiguousarray(audio, dtype=np.float32)
+    out = ctypes.POINTER(ctypes.c_float)()
+    n_out = ctypes.c_int64()
+    rc = lib.st_resample(
+        audio.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(audio),
+        float(sr_in),
+        float(sr_out),
+        ctypes.byref(out),
+        ctypes.byref(n_out),
+    )
+    if rc != 0:
+        raise ValueError(f"resample failed (code {rc})")
+    return _take_float_buffer(lib, out, n_out.value)
+
+
+DEFAULT_SR = 22050  # librosa.load default, the rate the reference caches at
+
+
+def load_audio(path: str, sr: int | None = DEFAULT_SR) -> tuple[np.ndarray, int]:
+    """Decode FLAC and resample to ``sr`` (None = keep native rate)."""
+    audio, native_sr = flac_decode(path)
+    if sr is None or sr == native_sr:
+        return audio, native_sr
+    return resample(audio, native_sr, sr), sr
+
+
+def levenshtein(a, b) -> int:
+    """Edit distance between two sequences (str or iterables of hashables)."""
+    if isinstance(a, str) and isinstance(b, str):
+        a_ids = np.frombuffer(a.encode("utf-32-le"), dtype=np.int32)
+        b_ids = np.frombuffer(b.encode("utf-32-le"), dtype=np.int32)
+    else:
+        # map arbitrary hashables to dense ids
+        symbols = {}
+        def enc(seq):
+            out = np.empty(len(seq), dtype=np.int32)
+            for i, s in enumerate(seq):
+                out[i] = symbols.setdefault(s, len(symbols))
+            return out
+        a_ids, b_ids = enc(list(a)), enc(list(b))
+    try:
+        lib = _load()
+    except NativeBuildError:
+        return _levenshtein_py(a_ids, b_ids)
+    a_ids = np.ascontiguousarray(a_ids)
+    b_ids = np.ascontiguousarray(b_ids)
+    return int(
+        lib.st_levenshtein_i32(
+            a_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(a_ids),
+            b_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(b_ids),
+        )
+    )
+
+
+def _levenshtein_py(a: np.ndarray, b: np.ndarray) -> int:
+    prev = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        cur = [i] + [0] * len(b)
+        for j in range(1, len(b) + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+        prev = cur
+    return prev[-1]
