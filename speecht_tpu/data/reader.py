@@ -1,0 +1,216 @@
+"""Corpus reader: offline feature cache (store / load / generate).
+
+Capability parity with the reference corpus reader (reference:
+speecht/preprocessing.py:103-279):
+
+- transcript dicts built from recursive ``*.trans.txt`` scans (each line is
+  ``<utterance-id> WORD WORD ...``; preprocessing.py:146-158)
+- ``store_samples``: process-parallel flac -> features -> per-utterance
+  ``.npz`` with keys ``audio_fragments`` + ``transcript``
+  (preprocessing.py:212-241)
+- ``load_samples``: shuffled ``.npz`` generator with max_size / limit_count /
+  loop_infinitely semantics (preprocessing.py:243-279)
+- cache directory naming is byte-compatible: ``preprocessed-power`` for the
+  power spectrogram, ``preprocessed`` for mfcc (preprocessing.py:199-206), so
+  caches written by the reference can be consumed directly.
+
+Audio decode uses the in-repo native FLAC decoder + resampler (librosa is not
+a dependency; see speecht_tpu/native).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import logging
+import multiprocessing
+import os
+import random
+from typing import Callable, Iterator
+
+import numpy as np
+
+from speecht_tpu import vocabulary
+from speecht_tpu.data import features as F
+
+log = logging.getLogger(__name__)
+
+
+def iglob_recursive(directory: str, file_pattern: str) -> Iterator[str]:
+    """Recursively yield files under ``directory`` matching ``file_pattern``."""
+    for root, _dirs, file_names in os.walk(directory):
+        for filename in fnmatch.filter(file_names, file_pattern):
+            yield os.path.join(root, filename)
+
+
+def _resolve_feature_fn(feature_type) -> Callable:
+    if callable(feature_type):
+        return feature_type
+    return F.FEATURE_FUNCTIONS[feature_type]
+
+
+def _load_and_transform(audio_file: str, preprocess_fnc: Callable):
+    from speecht_tpu import native
+
+    audio_data, samplerate = native.load_audio(audio_file)
+    return preprocess_fnc(audio_data, samplerate)
+
+
+def _transform_and_store(args) -> str | None:
+    """Pool worker: decode, featurize, save one utterance. Returns error or None."""
+    audio_file, preprocess_fnc, transcript, out_directory = args
+    try:
+        audio_id = os.path.splitext(os.path.basename(audio_file))[0]
+        fragments = _load_and_transform(audio_file, preprocess_fnc)
+        np.savez(
+            os.path.join(out_directory, audio_id),
+            audio_fragments=fragments,
+            transcript=np.asarray(transcript, dtype=np.int64),
+        )
+        return None
+    except Exception as e:  # noqa: BLE001 - reported to the caller
+        return f"{audio_file}: {type(e).__name__}: {e}"
+
+
+class SpeechCorpusReader:
+    """Reads raw + preprocessed speech corpus files under ``data_directory``."""
+
+    def __init__(self, data_directory: str):
+        self._data_directory = data_directory
+        self._transcript_dict_cache: dict[str, list[int]] | None = None
+
+    # -- transcripts --------------------------------------------------------
+
+    @property
+    def _transcript_dict(self) -> dict[str, list[int]]:
+        if self._transcript_dict_cache is None:
+            self._transcript_dict_cache = self._build_transcript()
+        return self._transcript_dict_cache
+
+    @staticmethod
+    def _get_transcript_entries(transcript_directory: str):
+        for transcript_file in iglob_recursive(
+            transcript_directory, "*.trans.txt"
+        ):
+            with open(transcript_file) as f:
+                for line in f:
+                    line = line.rstrip("\n")
+                    if line:
+                        yield line.split(" ", 1)
+
+    def _build_transcript(self) -> dict[str, list[int]]:
+        return {
+            entry[0]: vocabulary.sentence_to_ids(entry[1])
+            for entry in self._get_transcript_entries(self._data_directory)
+        }
+
+    # -- feature directory layout ------------------------------------------
+
+    def _get_directory(self, feature_type, sub_directory: str) -> str:
+        # byte-compatible with the reference cache layout
+        preprocess_directory = "preprocessed"
+        if feature_type is F.calc_power_spectrogram or feature_type == "power":
+            preprocess_directory += "-power"
+        return os.path.join(
+            self._data_directory, preprocess_directory, sub_directory
+        )
+
+    # -- store / generate / load --------------------------------------------
+
+    def generate_samples(self, directory: str, preprocess_fnc):
+        """Yield (audio_id, features, transcript) decoding flacs on the fly."""
+        preprocess_fnc = _resolve_feature_fn(preprocess_fnc)
+        audio_files = list(
+            iglob_recursive(
+                os.path.join(self._data_directory, directory), "*.flac"
+            )
+        )
+        transcript_dict = self._transcript_dict
+        for audio_file in audio_files:
+            audio_id = os.path.splitext(os.path.basename(audio_file))[0]
+            fragments = _load_and_transform(audio_file, preprocess_fnc)
+            yield audio_id, fragments, transcript_dict[audio_id]
+
+    def store_samples(
+        self, directory: str, preprocess_fnc, num_workers: int = 0
+    ) -> int:
+        """Preprocess all flacs in ``directory`` into the npz cache.
+
+        Returns the number of stored utterances. Worker errors are collected
+        and re-raised (parity with reference preprocessing.py:208-210).
+        """
+        feature_fn = _resolve_feature_fn(preprocess_fnc)
+        out_directory = self._get_directory(preprocess_fnc, directory)
+        os.makedirs(out_directory, exist_ok=True)
+
+        audio_files = list(
+            iglob_recursive(
+                os.path.join(self._data_directory, directory), "*.flac"
+            )
+        )
+        transcript_dict = self._transcript_dict
+        tasks = [
+            (
+                f,
+                feature_fn,
+                transcript_dict[
+                    os.path.splitext(os.path.basename(f))[0]
+                ],
+                out_directory,
+            )
+            for f in audio_files
+        ]
+
+        workers = num_workers or multiprocessing.cpu_count()
+        if workers <= 1 or len(tasks) <= 1:
+            errors = [e for e in map(_transform_and_store, tasks) if e]
+        else:
+            with multiprocessing.Pool(processes=workers) as pool:
+                errors = [
+                    e for e in pool.map(_transform_and_store, tasks) if e
+                ]
+        if errors:
+            raise RuntimeError(
+                "An error occurred during preprocessing:\n"
+                + "\n".join(errors[:10])
+            )
+        return len(tasks)
+
+    def load_samples(
+        self,
+        directory: str,
+        max_size=False,
+        loop_infinitely: bool = False,
+        limit_count: int = 0,
+        feature_type: str = "mfcc",
+        seed: int | None = None,
+    ):
+        """Yield (features, transcript) pairs from the npz cache, shuffled.
+
+        Semantics match reference preprocessing.py:243-279: optional max time
+        length (longer utterances skipped with a warning), optional sample
+        limit, optional infinite reshuffling loop.
+        """
+        load_directory = self._get_directory(feature_type, directory)
+        if not os.path.exists(load_directory):
+            raise ValueError(f"Directory {load_directory} does not exist")
+
+        files = sorted(iglob_recursive(load_directory, "*.npz"))
+        rng = random.Random(seed)
+        rng.shuffle(files)
+
+        if limit_count:
+            files = files[:limit_count]
+
+        while True:
+            for file in files:
+                with np.load(file) as data:
+                    audio_length = data["audio_fragments"].shape[0]
+                    if not max_size or audio_length <= max_size:
+                        yield data["audio_fragments"], data["transcript"]
+                    else:
+                        log.warning(
+                            "Audio snippet too long: %d", audio_length
+                        )
+            if not loop_infinitely:
+                break
+            rng.shuffle(files)

@@ -1,0 +1,110 @@
+"""Corpus reader tests (parity with reference tests/test_speechCorpusReader.py).
+
+Covers transcript parsing, raw-audio transform shape with an identity
+feature fn, generate<->store<->load round trips, and load_samples'
+max_size / limit semantics. Uses the LibriSpeech fixture from the read-only
+reference checkout when available.
+"""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from speecht_tpu.data.reader import SpeechCorpusReader, iglob_recursive
+
+FIXTURE_DIR = "/root/reference/speecht/tests/data"
+FIXTURE_ID = "1089-134686-0037"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(FIXTURE_DIR), reason="fixture unavailable"
+)
+
+
+@pytest.fixture
+def data_dir(tmp_path):
+    train = tmp_path / "train"
+    train.mkdir()
+    shutil.copy(
+        os.path.join(FIXTURE_DIR, "train", FIXTURE_ID + ".flac"), train
+    )
+    shutil.copy(
+        os.path.join(FIXTURE_DIR, "train", "1089-134686.trans.txt"), train
+    )
+    return str(tmp_path)
+
+
+def identity_features(audio, sr):
+    return audio
+
+
+def test_transcript_dict(data_dir):
+    reader = SpeechCorpusReader(data_dir)
+    transcript = reader._transcript_dict
+    assert FIXTURE_ID in transcript
+    ids = transcript[FIXTURE_ID]
+    assert all(0 <= i < 28 for i in ids)
+    # transcripts are uppercase words in the source file; ours are encoded
+    from speecht_tpu import vocabulary
+
+    text = vocabulary.ids_to_sentence(ids)
+    assert text.islower() or "'" in text or " " in text
+    assert len(text.split()) > 1
+
+
+def test_generate_samples_identity_shape(data_dir):
+    # reference golden value: raw audio at 22050 Hz is (114881,)
+    reader = SpeechCorpusReader(data_dir)
+    samples = list(reader.generate_samples("train", identity_features))
+    assert len(samples) == 1
+    audio_id, fragments, transcript = samples[0]
+    assert audio_id == FIXTURE_ID
+    assert fragments.shape == (114881,)
+    assert len(transcript) > 0
+
+
+def test_store_then_load_roundtrip(data_dir):
+    reader = SpeechCorpusReader(data_dir)
+    n = reader.store_samples("train", "power", num_workers=1)
+    assert n == 1
+    cache = os.path.join(data_dir, "preprocessed-power", "train")
+    files = list(iglob_recursive(cache, "*.npz"))
+    assert len(files) == 1
+
+    loaded = list(reader.load_samples("train", feature_type="power"))
+    assert len(loaded) == 1
+    feats, transcript = loaded[0]
+    assert feats.shape == (1 + 114881 // 160, 128)
+    assert feats.dtype == np.float32
+
+    gen = next(iter(SpeechCorpusReader(data_dir).generate_samples("train", "power")))
+    np.testing.assert_allclose(gen[1], feats, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(gen[2]), transcript)
+
+
+def test_load_samples_max_size_skips(data_dir):
+    reader = SpeechCorpusReader(data_dir)
+    reader.store_samples("train", "power", num_workers=1)
+    assert list(reader.load_samples("train", feature_type="power", max_size=10)) == []
+    assert (
+        len(list(reader.load_samples("train", feature_type="power", max_size=100000)))
+        == 1
+    )
+
+
+def test_load_samples_missing_dir_raises(data_dir):
+    reader = SpeechCorpusReader(data_dir)
+    with pytest.raises(ValueError):
+        list(reader.load_samples("train", feature_type="mfcc"))
+
+
+def test_load_samples_loop_infinitely(data_dir):
+    reader = SpeechCorpusReader(data_dir)
+    reader.store_samples("train", "power", num_workers=1)
+    gen = reader.load_samples(
+        "train", feature_type="power", loop_infinitely=True
+    )
+    a = next(gen)
+    b = next(gen)  # would StopIteration without looping
+    np.testing.assert_array_equal(a[1], b[1])
