@@ -109,7 +109,11 @@ def batch_power_spectrogram(
 
     mel = jnp.asarray(_mel_matrix(sr, n_fft, n_mels))
     mel_power = jnp.einsum(
-        "btf,fm->btm", power, mel, preferred_element_type=jnp.float32
+        "btf,fm->btm",
+        power,
+        mel,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
     frame_lengths = num_frames(num_samples, hop_length).astype(jnp.int32)
@@ -150,7 +154,11 @@ def batch_mfccs(
     power = jnp.square(jnp.abs(spec)).astype(jnp.float32)
     mel = jnp.asarray(_mel_matrix(sr, n_fft, n_mels))
     mel_power = jnp.einsum(
-        "btf,fm->btm", power, mel, preferred_element_type=jnp.float32
+        "btf,fm->btm",
+        power,
+        mel,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
     frame_lengths = num_frames(num_samples, hop_length).astype(jnp.int32)
@@ -165,7 +173,11 @@ def batch_mfccs(
 
     dct = jnp.asarray(_dct_matrix(n_mfcc, n_mels))
     mfcc = jnp.einsum(
-        "btm,mk->btk", log_spec, dct, preferred_element_type=jnp.float32
+        "btm,mk->btk",
+        log_spec,
+        dct,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # [B, T, n_mfcc]
 
     def _delta(x):

@@ -1,0 +1,128 @@
+"""Device mesh + sharding utilities.
+
+The reference is strictly single-device (SURVEY.md §2c: the only device
+placement in the whole tree is CPU-pinned input staging,
+speech_input.py:91,142,164). This module is the TPU-native parallelism layer
+the rebuild introduces:
+
+- a 2-D ``jax.sharding.Mesh`` with axes ``('data', 'model')``;
+- **DP**: batches sharded on ``data``; XLA all-reduces gradients over ICI.
+- **TP**: the 2000-channel Wav2Letter layers' activations (and, via GSPMD
+  propagation, their kernels) sharded on ``model``.
+- a process-wide mesh context so model code can constrain activations with
+  plain ``PartitionSpec``s and run unchanged on 1..N devices: with no active
+  mesh every helper is the identity.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import threading
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+_state = threading.local()
+
+
+def make_mesh(
+    data_parallel: int = 0, model_parallel: int = 1, devices=None
+) -> Mesh:
+    """Build a ('data', 'model') mesh.
+
+    ``data_parallel=0`` means use all remaining devices on the data axis.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if model_parallel < 1 or n % model_parallel:
+        raise ValueError(
+            f"model_parallel={model_parallel} must divide device count {n}"
+        )
+    dp = data_parallel or n // model_parallel
+    if dp * model_parallel > n:
+        raise ValueError(
+            f"mesh {dp}x{model_parallel} exceeds {n} available devices"
+        )
+    grid = np.asarray(devices[: dp * model_parallel]).reshape(
+        dp, model_parallel
+    )
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def get_mesh() -> Mesh | None:
+    return getattr(_state, "mesh", None)
+
+
+@contextlib.contextmanager
+def use_mesh(mesh: Mesh | None):
+    """Activate ``mesh`` for constrain()/shard_batch() in this thread."""
+    prev = get_mesh()
+    _state.mesh = mesh
+    try:
+        yield mesh
+    finally:
+        _state.mesh = prev
+
+
+class MeshContext:
+    """Convenience bundle: mesh + common shardings."""
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+
+    @property
+    def data_sharding(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P(DATA_AXIS))
+
+    @property
+    def replicated(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P())
+
+    def sharding(self, *spec) -> NamedSharding:
+        return NamedSharding(self.mesh, P(*spec))
+
+
+def constrain(x: jax.Array, *spec) -> jax.Array:
+    """``with_sharding_constraint`` against the active mesh; no-op without one.
+
+    Axis names not present in the active mesh, or axes whose mesh size does
+    not divide the array dimension, are dropped from the spec (so the same
+    model code runs on a data-only mesh, a 2-D mesh, or no mesh at all).
+    """
+    mesh = get_mesh()
+    if mesh is None:
+        return x
+    cleaned = []
+    for dim, name in enumerate(spec):
+        ok = (
+            name is not None
+            and name in mesh.axis_names
+            and dim < x.ndim
+            and x.shape[dim] % mesh.shape[name] == 0
+            and mesh.shape[name] > 1
+        )
+        cleaned.append(name if ok else None)
+    if not any(cleaned):
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(*cleaned))
+    )
+
+
+def shard_batch(batch, mesh: Mesh | None = None):
+    """device_put a host batch pytree sharded on the data axis (dim 0)."""
+    mesh = mesh or get_mesh()
+    if mesh is None:
+        return jax.device_put(batch)
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+
+    def put(x):
+        x = np.asarray(x)
+        spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, batch)

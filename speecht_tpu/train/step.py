@@ -1,0 +1,113 @@
+"""Jitted train / eval / decode steps.
+
+The TPU-native equivalent of the reference's polymorphic ``SpeechModel.step``
+(reference speecht/speech_model.py:197-235), which assembled a dynamic TF
+fetch list (loss / update / decode / labels / summary). Under XLA each
+combination is its own compiled program, so this module exposes one jitted
+function per workload instead:
+
+- :func:`make_train_step`  — forward + CTC loss + clipped Adam update
+  (reference speech_model.py:65-82 semantics), donated state.
+- :func:`make_eval_step`   — loss + greedy decode, no update
+  (evaluation.py:130-137's fetch combination).
+- :func:`make_forward_step`— logits only (record/export path).
+
+All steps are mesh-polymorphic: the same compiled code runs on 1 device or a
+('data','model') mesh — batches arrive sharded on ``data``, parameter and
+activation shardings propagate from the constraints in the model.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from speecht_tpu.models.wav2letter import Wav2Letter, output_length
+from speecht_tpu.ops import ctc, decode
+from speecht_tpu.train.state import TrainState
+
+
+def make_loss_fn(model: Wav2Letter) -> Callable:
+    def loss_fn(params, batch):
+        logits = model.apply({"params": params}, batch.features)
+        logit_lengths = output_length(batch.seq_lengths)
+        # padded rows (seq_length 0) contribute loss 0
+        losses = ctc.ctc_loss(
+            logits, logit_lengths, batch.labels, batch.label_lengths
+        )
+        real = (batch.seq_lengths > 0).astype(jnp.float32)
+        avg_loss = jnp.sum(losses * real) / jnp.maximum(jnp.sum(real), 1.0)
+        return avg_loss, logits
+
+    return loss_fn
+
+
+def make_train_step(
+    model: Wav2Letter, tx: optax.GradientTransformation
+) -> Callable:
+    """Returns jitted (state, batch) -> (state, metrics). State is donated."""
+    loss_fn = make_loss_fn(model)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch):
+        (avg_loss, _logits), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        # learning rate multiplies *after* clip+Adam so plateau decay
+        # (reference training.py:82-84) needs no optimizer rebuild
+        updates = jax.tree_util.tree_map(
+            lambda u: -state.learning_rate * u, updates
+        )
+        params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": avg_loss,
+            "grad_norm": optax.global_norm(grads),
+            "learning_rate": state.learning_rate,
+        }
+        return (
+            TrainState(
+                params=params,
+                opt_state=opt_state,
+                step=state.step + 1,
+                learning_rate=state.learning_rate,
+            ),
+            metrics,
+        )
+
+    return train_step
+
+
+def make_eval_step(model: Wav2Letter) -> Callable:
+    """Returns jitted (params, batch) -> (loss, decoded, decoded_lengths)."""
+    loss_fn = make_loss_fn(model)
+
+    @jax.jit
+    def eval_step(params, batch):
+        avg_loss, logits = loss_fn(params, batch)
+        logit_lengths = output_length(batch.seq_lengths)
+        decoded, dec_lengths, _scores = decode.greedy_decode(
+            logits, logit_lengths
+        )
+        return avg_loss, decoded, dec_lengths
+
+    return eval_step
+
+
+def make_forward_step(model: Wav2Letter) -> Callable:
+    """Returns jitted (params, features) -> logits [B, T//2, C]."""
+
+    @jax.jit
+    def forward(params, features):
+        return model.apply({"params": params}, features)
+
+    return forward
+
+
+def decay_learning_rate(state: TrainState, factor: float) -> TrainState:
+    """Plateau decay: lr <- lr * factor (reference speech_model.py:65-66)."""
+    return state.replace(learning_rate=state.learning_rate * factor)
