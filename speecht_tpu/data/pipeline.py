@@ -28,15 +28,17 @@ import queue
 import threading
 from typing import Callable, Iterator
 
+import jax
 import numpy as np
 
 from speecht_tpu import vocabulary
 from speecht_tpu.parallel import mesh as pmesh
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class Batch:
-    """One dense padded batch (host numpy or device arrays)."""
+    """One dense padded batch (host numpy or device arrays); a jax pytree."""
 
     features: np.ndarray  # [B, T, F] float32
     seq_lengths: np.ndarray  # [B] int32 (valid input frames)

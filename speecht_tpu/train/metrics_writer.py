@@ -1,0 +1,129 @@
+"""TensorBoard-compatible scalar metrics writer (pure Python, no TF).
+
+Capability parity with the reference's summary subsystem (reference:
+speecht/speech_model.py:119-126 — merged summaries written to
+``log/<run>_<type>``; scalar loss + learning rate at speech_model.py:69,76).
+The reference leans on TF's C++ event writer; this is a dependency-free
+implementation of the TFRecord event-file format:
+
+  record  := uint64 length | uint32 masked_crc32c(length) | payload
+             | uint32 masked_crc32c(payload)
+  payload := tensorflow.Event protobuf (hand-encoded wire format)
+
+Scalars written here render in TensorBoard / tensorboardX unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import struct
+import time
+
+
+def _crc32c_table():
+    poly = 0x82F63B78
+    table = []
+    for i in range(256):
+        crc = i
+        for _ in range(8):
+            crc = (crc >> 1) ^ (poly if crc & 1 else 0)
+        table.append(crc)
+    return table
+
+
+_TABLE = _crc32c_table()
+
+
+def crc32c(data: bytes) -> int:
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = (_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)) & 0xFFFFFFFF
+    return crc ^ 0xFFFFFFFF
+
+
+def _masked_crc(data: bytes) -> int:
+    crc = crc32c(data)
+    return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _field_double(num: int, value: float) -> bytes:
+    return bytes([num << 3 | 1]) + struct.pack("<d", value)
+
+
+def _field_float(num: int, value: float) -> bytes:
+    return bytes([num << 3 | 5]) + struct.pack("<f", value)
+
+
+def _field_varint(num: int, value: int) -> bytes:
+    return bytes([num << 3 | 0]) + _varint(value)
+
+
+def _field_bytes(num: int, value: bytes) -> bytes:
+    return bytes([num << 3 | 2]) + _varint(len(value)) + value
+
+
+def _event(
+    wall_time: float,
+    step: int = 0,
+    file_version: str | None = None,
+    scalars: dict[str, float] | None = None,
+) -> bytes:
+    # tensorflow.Event: 1=wall_time, 2=step, 3=file_version, 5=summary
+    msg = _field_double(1, wall_time)
+    if step:
+        msg += _field_varint(2, step)
+    if file_version is not None:
+        msg += _field_bytes(3, file_version.encode())
+    if scalars:
+        summary = b""
+        for tag, value in scalars.items():
+            # Summary.Value: 1=tag, 2=simple_value
+            val = _field_bytes(1, tag.encode()) + _field_float(2, float(value))
+            summary += _field_bytes(1, val)
+        msg += _field_bytes(5, summary)
+    return msg
+
+
+class SummaryWriter:
+    """Append-only TensorBoard event file writer."""
+
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        fname = "events.out.tfevents.{:.0f}.{}".format(
+            time.time(), socket.gethostname()
+        )
+        self.path = os.path.join(log_dir, fname)
+        self._f = open(self.path, "ab")
+        self._write_record(_event(time.time(), file_version="brain.Event:2"))
+
+    def _write_record(self, payload: bytes):
+        header = struct.pack("<Q", len(payload))
+        self._f.write(header)
+        self._f.write(struct.pack("<I", _masked_crc(header)))
+        self._f.write(payload)
+        self._f.write(struct.pack("<I", _masked_crc(payload)))
+
+    def add_scalars(self, step: int, scalars: dict[str, float]):
+        self._write_record(_event(time.time(), step=step, scalars=scalars))
+
+    def add_scalar(self, tag: str, value: float, step: int):
+        self.add_scalars(step, {tag: value})
+
+    def flush(self):
+        self._f.flush()
+
+    def close(self):
+        self._f.close()
