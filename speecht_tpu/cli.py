@@ -1,0 +1,258 @@
+"""Command-line interface: 6 subcommands over the shared executor core.
+
+Capability parity with the reference CLI (reference: speecht-cli:24-222):
+subcommands ``preprocess`` / ``train`` / ``evaluate`` / ``record`` /
+``search`` / ``export`` sharing a base parser (--mfcc/--power, --batch-size,
+--run-name, --data-dir, --train-dir, --log-dir — speecht-cli:37-54), the
+same per-command flags and defaults, derived ``run_type`` and
+``run_train_dir`` (speecht-cli:141-159), directory creation
+(speecht-cli:209-216), and lazy executor dispatch (speecht-cli:191-200).
+
+TPU-native additions: ``--data-parallel`` / ``--model-parallel`` mesh flags,
+``--compute-dtype``, ``--bucket-step``, ``--max-steps``, ``--num-workers``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from speecht_tpu import config as cfg
+
+
+class CLI:
+    def __init__(self, argv=None):
+        self.argv = argv
+        self.parser = argparse.ArgumentParser(prog="speecht-cli")
+        self.subparsers = self.parser.add_subparsers(
+            help="sub-command help", dest="command"
+        )
+        self.base_parser = self._create_base_parser()
+        self._add_training_parser()
+        self._add_evaluation_parser()
+        self._add_recording_parser()
+        self._add_parameter_search_parser()
+        self._add_preprocess_parser()
+        self._add_export_parser()
+        self._parsed = None
+
+    def _create_base_parser(self) -> argparse.ArgumentParser:
+        p = argparse.ArgumentParser(add_help=False)
+        p.add_argument(
+            "--mfcc", dest="feature_type", action="store_const", const="mfcc",
+            help="Use mfccs as input.",
+        )
+        p.add_argument(
+            "--power", dest="feature_type", action="store_const",
+            const="power", help="Use a power spectrogram as input.",
+        )
+        p.add_argument("--batch-size", dest="batch_size", type=int, default=64)
+        p.add_argument("--run-name", dest="run_name", type=str, default="noname")
+        p.add_argument("--data-dir", dest="data_dir", type=str, default="data")
+        p.add_argument("--train-dir", dest="train_dir", type=str, default="train")
+        p.add_argument("--log-dir", dest="log_dir", type=str, default="log")
+        # TPU-native flags
+        p.add_argument(
+            "--data-parallel", dest="data_parallel", type=int, default=0,
+            help="Devices on the data mesh axis (0 = all remaining).",
+        )
+        p.add_argument(
+            "--model-parallel", dest="model_parallel", type=int, default=1,
+            help="Devices on the model (tensor-parallel) mesh axis.",
+        )
+        p.add_argument(
+            "--compute-dtype", dest="compute_dtype", type=str,
+            default="bfloat16", choices=["bfloat16", "float32"],
+        )
+        p.add_argument(
+            "--bucket-step", dest="bucket_step", type=int, default=256,
+            help="Pad batch time length up to a multiple of this.",
+        )
+        p.set_defaults(feature_type="power")
+        return p
+
+    def _add_language_model_arguments(self, parser):
+        parser.add_argument(
+            "--language-model", dest="language_model", type=str,
+            help="Use beam search with the given language model directory "
+            "(containing an ARPA model and `vocabulary`).",
+        )
+        parser.add_argument("--lm-weight", dest="lm_weight", type=float, default=0.8)
+        parser.add_argument(
+            "--word-count-weight", dest="word_count_weight", type=float, default=0.0
+        )
+        parser.add_argument(
+            "--valid-word-count-weight", dest="valid_word_count_weight",
+            type=float, default=2.3,
+        )
+        parser.add_argument(
+            "--beam-width", dest="beam_width", type=int, default=100
+        )
+
+    def _add_training_parser(self):
+        p = self.subparsers.add_parser(
+            "train", help="Train the wav2letter weights.",
+            parents=[self.base_parser],
+        )
+        p.add_argument("--learning-rate", dest="learning_rate", type=float, default=1e-4)
+        p.add_argument(
+            "--reset-learning-rate", dest="reset_learning_rate",
+            action="store_true",
+        )
+        p.add_argument(
+            "--learning-rate-decay-factor", dest="learning_rate_decay_factor",
+            type=float, default=0,
+        )
+        p.add_argument("--momentum", dest="momentum", type=float, default=0.9)
+        p.add_argument(
+            "--max-gradient-norm", dest="max_gradient_norm", type=float, default=5.0
+        )
+        p.add_argument(
+            "--limit-training-set", dest="limit_training_set", type=int, default=0
+        )
+        p.add_argument(
+            "--steps-per-checkpoint", dest="steps_per_checkpoint", type=int,
+            default=1000,
+        )
+        p.add_argument(
+            "--max-steps", dest="max_steps", type=int, default=None,
+            help="Stop after this many steps (default: run forever).",
+        )
+
+    def _add_evaluation_parser(self):
+        p = self.subparsers.add_parser(
+            "evaluate", help="Evaluate the development or test set.",
+            parents=[self.base_parser],
+        )
+        p.add_argument("--dev", dest="dataset", action="store_const", const="dev")
+        p.add_argument("--test", dest="dataset", action="store_const", const="test")
+        p.add_argument(
+            "--no-save", dest="should_save", action="store_false",
+            help="Do not save evaluation summaries.",
+        )
+        p.add_argument("--step-count", dest="step_count", type=int, default=0)
+        self._add_language_model_arguments(p)
+        p.set_defaults(dataset="test", should_save=True)
+
+    def _add_recording_parser(self):
+        p = self.subparsers.add_parser(
+            "record",
+            help="Record using your microphone and inspect the transcription.",
+            parents=[self.base_parser],
+        )
+        p.add_argument("--input-size", dest="input_size", type=int, default=128)
+        self._add_language_model_arguments(p)
+
+    def _add_parameter_search_parser(self):
+        p = self.subparsers.add_parser(
+            "search",
+            help="Search for language model hyperparameters using local search.",
+            parents=[self.base_parser],
+        )
+        p.add_argument(
+            "--population-size", dest="population_size", type=int, default=10
+        )
+        p.add_argument("--noise-std", dest="noise_std", type=float, default=0.5)
+        p.add_argument("--ui", dest="use_ui", action="store_true")
+        p.add_argument("--step-count", dest="step_count", type=int, default=1)
+        self._add_language_model_arguments(p)
+
+    def _add_preprocess_parser(self):
+        p = self.subparsers.add_parser(
+            "preprocess", help="Preprocess and cache all audio.",
+            parents=[self.base_parser],
+        )
+        p.add_argument("--train-only", dest="train_only", action="store_true")
+        p.add_argument("--test-only", dest="test_only", action="store_true")
+        p.add_argument("--dev-only", dest="dev_only", action="store_true")
+        p.add_argument("--num-workers", dest="num_workers", type=int, default=0)
+
+    def _add_export_parser(self):
+        p = self.subparsers.add_parser(
+            "export", help="Export network details", parents=[self.base_parser]
+        )
+        p.add_argument("--weights", dest="export_weights_dir", type=str)
+        p.add_argument("--input-size", dest="input_size", type=int, default=128)
+
+    @property
+    def parsed(self):
+        if self._parsed is None:
+            parsed = self.parser.parse_args(self.argv)
+            if parsed.command:
+                if parsed.command == "train":
+                    parsed.run_type = "train"
+                elif parsed.command == "evaluate":
+                    parsed.run_type = parsed.dataset
+                elif parsed.command == "record":
+                    parsed.run_type = "record"
+                else:
+                    parsed.run_type = "other"
+                parsed.run_train_dir = parsed.train_dir + "/" + parsed.run_name
+                if hasattr(parsed, "language_model"):
+                    parsed.lm = cfg.LanguageModelConfig(
+                        language_model=parsed.language_model,
+                        lm_weight=parsed.lm_weight,
+                        word_count_weight=parsed.word_count_weight,
+                        valid_word_count_weight=parsed.valid_word_count_weight,
+                        beam_width=parsed.beam_width,
+                    )
+            self._parsed = parsed
+        return self._parsed
+
+    @property
+    def command_executor(self):
+        flags = self.parsed
+        command = flags.command
+        # lazy imports (parity with speecht-cli:161-189): heavy deps load
+        # only for the command that needs them
+        if command == "train":
+            from speecht_tpu.training import Training
+
+            return Training(flags)
+        if command == "evaluate":
+            from speecht_tpu.evaluation import Evaluation
+
+            return Evaluation(flags)
+        if command == "record":
+            from speecht_tpu.recording import Recording
+
+            return Recording(flags)
+        if command == "search":
+            from speecht_tpu.parameter_search import (
+                LanguageModelParameterSearch,
+            )
+
+            return LanguageModelParameterSearch(flags)
+        if command == "preprocess":
+            from speecht_tpu.preprocessing import Preprocessing
+
+            return Preprocessing(flags)
+        if command == "export":
+            from speecht_tpu.exporting import Exporting
+
+            return Exporting(flags)
+        raise ValueError(f"Unknown command {command}")
+
+    def _ensure_directories(self):
+        for d in (
+            self.parsed.train_dir,
+            self.parsed.data_dir,
+            self.parsed.log_dir,
+            self.parsed.run_train_dir,
+        ):
+            os.makedirs(d, exist_ok=True)
+
+    def run(self):
+        if not self.parsed.command:
+            self.parser.print_help()
+            return None
+        self._ensure_directories()
+        return self.command_executor.run()
+
+
+def main(argv=None):
+    CLI(argv).run()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+"""Evaluation executor.
+
+Capability parity with the reference evaluation loop (reference:
+speecht/evaluation.py:68-171): runs the dev/test split (``--dev``/``--test``)
+for ``--step-count`` batches (0 = whole split), restores the checkpoint
+(missing checkpoint is fatal), computes loss + decodes, prints per-sample
+expected/decoded strings with LED/LER/WED/WER, then global statistics; a
+summary is written for the first step when saving is enabled
+(evaluation.py:126-137).
+
+TPU-native: decode happens on device (greedy argmax-collapse, or the beam
+lattice + host LM when ``--language-model`` is given); the device returns
+dense padded id rows instead of SparseTensors, so "extract decoded ids" is a
+row slice (the reference walks sparse indices, evaluation.py:160-171).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from speecht_tpu import vocabulary
+from speecht_tpu.execution import DatasetExecutor, init_state
+from speecht_tpu.metrics import EvalStatistics
+from speecht_tpu.parallel import mesh as pmesh
+from speecht_tpu.train import step as tstep
+from speecht_tpu.train.metrics_writer import SummaryWriter
+from speecht_tpu.training import perplexity
+
+
+class Evaluation(DatasetExecutor):
+    def dataset_name(self) -> str:
+        return self.flags.dataset
+
+    def create_sample_generator(self, limit_count: int):
+        return self.reader.load_samples(
+            self.flags.dataset,
+            loop_infinitely=False,
+            limit_count=limit_count,
+            feature_type=self.flags.feature_type,
+        )
+
+    def get_loader_limit_count(self) -> int:
+        return self.flags.step_count * self.flags.batch_size
+
+    def get_max_steps(self):
+        return self.flags.step_count or None
+
+    def make_decoder(self):
+        """Returns (params, batch) -> (loss, decoded_rows, decoded_lengths)."""
+        lm_flags = getattr(self.flags, "lm", None)
+        if lm_flags is not None and lm_flags.language_model:
+            from speecht_tpu.ops.beam import BeamSearchDecoder
+
+            beam = BeamSearchDecoder(self.model, lm_flags)
+            return beam.eval_step
+        return tstep.make_eval_step(self.model)
+
+    def run(self) -> EvalStatistics:
+        flags = self.flags
+        state, _tx = init_state(self.model, flags)
+        ckpt = self.checkpoint_manager()
+        state = ckpt.restore(state)  # fatal when missing (reference parity)
+
+        eval_step = self.make_decoder()
+        writer = None
+        if getattr(flags, "should_save", False):
+            writer = SummaryWriter(
+                os.path.join(
+                    flags.log_dir, f"{flags.run_name}_{flags.run_type}"
+                )
+            )
+
+        stats = EvalStatistics()
+        print("Begin evaluation")
+        with pmesh.use_mesh(self.mesh):
+            loader = self.create_loader()
+            for step, batch in enumerate(loader):
+                avg_loss, decoded, dec_lengths = eval_step(
+                    state.params, batch
+                )
+                self._track_batch(
+                    stats, batch, decoded, dec_lengths, verbose=True
+                )
+                print(
+                    "validation average loss {:.2f} perplexity {:.2f}".format(
+                        float(avg_loss), perplexity(float(avg_loss))
+                    )
+                )
+                if writer is not None and step == 0:
+                    writer.add_scalars(
+                        int(state.step), {"eval_loss": float(avg_loss)}
+                    )
+
+        self.print_global_statistics(stats)
+        if writer is not None:
+            writer.close()
+        ckpt.close()
+        return stats
+
+    @staticmethod
+    def _track_batch(
+        stats: EvalStatistics,
+        batch,
+        decoded,
+        dec_lengths,
+        verbose: bool = False,
+    ):
+        decoded = np.asarray(decoded)
+        dec_lengths = np.asarray(dec_lengths)
+        labels = np.asarray(batch.labels)
+        label_lengths = np.asarray(batch.label_lengths)
+        seq_lengths = np.asarray(batch.seq_lengths)
+
+        for i in range(decoded.shape[0]):
+            if seq_lengths[i] == 0:  # padded row of a partial batch
+                continue
+            expected_str = vocabulary.ids_to_sentence(
+                labels[i, : label_lengths[i]]
+            )
+            decoded_str = vocabulary.ids_to_sentence(
+                decoded[i, : dec_lengths[i]]
+            )
+            stats.track_decoding(decoded_str, expected_str)
+            if verbose:
+                print(f"expected: {expected_str}")
+                print(f"decoded: {decoded_str}")
+                print(
+                    "LED: {} LER: {:.2f} WED: {} WER: {:.2f}".format(
+                        stats.letter_edit_distance,
+                        stats.letter_error_rate,
+                        stats.word_edit_distance,
+                        stats.word_error_rate,
+                    )
+                )
+
+    @staticmethod
+    def print_global_statistics(stats: EvalStatistics):
+        print("Global statistics")
+        print(stats.summary())

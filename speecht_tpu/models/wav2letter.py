@@ -95,15 +95,17 @@ class _Conv1d(nn.Module):
             (self.features,),
             jnp.float32,
         )
+        # conv in compute_dtype (MXU accumulates f32 internally); no
+        # preferred_element_type upcast — its transpose rule would mix f32
+        # cotangents with bf16 kernels
         y = jax.lax.conv_general_dilated(
             x.astype(self.compute_dtype),
             kernel.astype(self.compute_dtype),
             window_strides=(self.stride,),
             padding="SAME",
             dimension_numbers=("NWC", "WIO", "NWC"),
-            preferred_element_type=jnp.float32,
         )
-        y = y + bias
+        y = y + bias.astype(self.compute_dtype)
         if self.relu:
             y = jnp.maximum(y, 0.0)
         y = y.astype(self.compute_dtype)

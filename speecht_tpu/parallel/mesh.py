@@ -53,6 +53,23 @@ def make_mesh(
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
+def auto_mesh(
+    batch_size: int, data_parallel: int = 0, model_parallel: int = 1
+) -> Mesh:
+    """make_mesh with the data axis clamped so it divides ``batch_size``.
+
+    An explicit ``data_parallel`` is respected (and validated by jit when the
+    batch does not divide); 0 picks gcd(available, batch_size).
+    """
+    if data_parallel:
+        return make_mesh(data_parallel, model_parallel)
+    import math
+
+    n = len(jax.devices())
+    dp = math.gcd(n // model_parallel, max(batch_size, 1))
+    return make_mesh(dp, model_parallel)
+
+
 def get_mesh() -> Mesh | None:
     return getattr(_state, "mesh", None)
 

@@ -1,0 +1,70 @@
+"""Live recording executor: microphone -> features -> decode -> print.
+
+Capability parity with the reference record command (reference:
+speecht/recording.py:27-69): batch-of-one input path with manual
+``--input-size`` (no cache probe), 16 kHz recorder with 4096-sample chunks,
+per-utterance feature extraction on the host, decode (greedy or LM beam),
+printed transcription, infinite loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from speecht_tpu import vocabulary
+from speecht_tpu.data import features as F
+from speecht_tpu.data.pipeline import single_batch
+from speecht_tpu.execution import build_model, init_state
+from speecht_tpu.train import step as tstep
+from speecht_tpu.train.checkpoint import CheckpointManager
+
+
+class Recording:
+    def __init__(self, flags):
+        self.flags = flags
+
+    def _make_decoder(self, model):
+        lm_flags = getattr(self.flags, "lm", None)
+        if lm_flags is not None and lm_flags.language_model:
+            from speecht_tpu.ops.beam import BeamSearchDecoder
+
+            return BeamSearchDecoder(model, lm_flags).eval_step
+        return tstep.make_eval_step(model)
+
+    def run(self):
+        from speecht_tpu.record_utils import AudioRecorder
+
+        flags = self.flags
+        sample_rate = 16000
+        recorder = AudioRecorder(rate=sample_rate, chunk_size=4 * 1024)
+
+        model = build_model(flags.input_size, flags)
+        state, _tx = init_state(model, flags)
+        ckpt = CheckpointManager(flags.run_train_dir)
+        state = ckpt.restore(state)
+        decoder = self._make_decoder(model)
+
+        while True:
+            print("Recording audio")
+            raw_audio, _width = recorder.record()
+            raw_audio = np.asarray(raw_audio)
+
+            print("Generate MFCCs or power spectrogram")
+            if flags.feature_type == "power":
+                speech_input = F.calc_power_spectrogram(raw_audio, sample_rate)
+            elif flags.feature_type == "mfcc":
+                speech_input = F.calc_mfccs(raw_audio, sample_rate)
+            else:
+                raise NotImplementedError(
+                    "Only power and mfccs are supported for input types."
+                )
+
+            print("Running speech recognition")
+            batch = single_batch(speech_input)
+            _loss, decoded, dec_lengths = decoder(state.params, batch)
+            decoded = np.asarray(decoded)
+            dec_lengths = np.asarray(dec_lengths)
+            decoded_str = vocabulary.ids_to_sentence(
+                decoded[0, : dec_lengths[0]]
+            )
+            print(f"decoded: {decoded_str}")

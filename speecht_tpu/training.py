@@ -1,0 +1,129 @@
+"""Training executor.
+
+Capability parity with the reference training loop (reference:
+speecht/training.py:26-98):
+
+- infinite shuffled generator over the cached train split with
+  ``--limit-training-set`` (training.py:28-32)
+- restore_or_create from the run's train dir with optional lr reset
+  (training.py:37-42)
+- per-``steps_per_checkpoint``: print global step / lr / avg step-time /
+  avg loss / perplexity (exp(loss) capped at 300 — training.py:73-75),
+  write summaries, **plateau lr decay** (decay when the running loss exceeds
+  the max of the last 3 checkpoint losses — training.py:82-84), save a
+  checkpoint.
+
+TPU-native: one jitted donated train step; device prefetch overlaps H2D with
+compute; checkpointing is orbax (async-capable); scalars go to the
+TensorBoard-compatible event writer under ``log/<run>_<type>``.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from speecht_tpu.execution import DatasetExecutor, init_state
+from speecht_tpu.parallel import mesh as pmesh
+from speecht_tpu.train import step as tstep
+from speecht_tpu.train.metrics_writer import SummaryWriter
+
+
+def perplexity(loss: float) -> float:
+    return float(np.exp(loss)) if loss < 300 else float("inf")
+
+
+class Training(DatasetExecutor):
+    def create_sample_generator(self, limit_count: int):
+        return self.reader.load_samples(
+            "train",
+            loop_infinitely=True,
+            limit_count=limit_count,
+            feature_type=self.flags.feature_type,
+        )
+
+    def get_loader_limit_count(self) -> int:
+        return self.flags.limit_training_set
+
+    def get_max_steps(self):
+        return getattr(self.flags, "max_steps", None)
+
+    def run(self):
+        flags = self.flags
+        state, tx = init_state(self.model, flags)
+        ckpt = self.checkpoint_manager()
+        state, restored = ckpt.restore_or_create(
+            state,
+            reset_learning_rate=(
+                flags.learning_rate if flags.reset_learning_rate else None
+            ),
+        )
+        if restored:
+            print(f"Restored model at step {int(state.step)}")
+
+        train_step = tstep.make_train_step(self.model, tx)
+        writer = SummaryWriter(
+            os.path.join(flags.log_dir, f"{flags.run_name}_{flags.run_type}")
+        )
+
+        step_time, loss = 0.0, 0.0
+        previous_losses: list[float] = []
+        spc = flags.steps_per_checkpoint
+
+        print("Begin training")
+        with pmesh.use_mesh(self.mesh):
+            loader = self.create_loader()
+            for batch in loader:
+                start_time = time.time()
+                state, metrics = train_step(state, batch)
+                avg_loss = float(metrics["loss"])
+                step_time += (time.time() - start_time) / spc
+                loss += avg_loss / spc
+
+                current_step = int(state.step)
+                if current_step % spc == 0:
+                    lr = float(state.learning_rate)
+                    print(
+                        "global step {:d} learning rate {:.4f} step-time "
+                        "{:.2f} average loss {:.2f} perplexity {:.2f}".format(
+                            current_step,
+                            lr,
+                            step_time,
+                            avg_loss,
+                            perplexity(avg_loss),
+                        ),
+                        flush=True,
+                    )
+                    writer.add_scalars(
+                        current_step,
+                        {
+                            "loss": avg_loss,
+                            "learning_rate": lr,
+                            "grad_norm": float(metrics["grad_norm"]),
+                            "step_time": step_time,
+                        },
+                    )
+                    writer.flush()
+
+                    # plateau decay (reference training.py:82-84)
+                    if (
+                        flags.learning_rate_decay_factor > 0
+                        and len(previous_losses) > 2
+                        and loss > max(previous_losses[-3:])
+                    ):
+                        state = tstep.decay_learning_rate(
+                            state, flags.learning_rate_decay_factor
+                        )
+                    previous_losses.append(loss)
+
+                    ckpt.save(state)
+                    print("Model saved", flush=True)
+                    step_time, loss = 0.0, 0.0
+
+        print("Done training -- step limit reached")
+        ckpt.save(state, wait=True)
+        ckpt.close()
+        writer.close()
+        return state

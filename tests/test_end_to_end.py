@@ -1,0 +1,117 @@
+"""End-to-end CLI slice: preprocess -> train -> evaluate -> export.
+
+The TPU-world equivalent of running the reference's full command surface on
+a tiny corpus: the bundled LibriSpeech fixture becomes a 1-utterance
+train/dev/test corpus, then every executor runs through the real CLI with a
+small step budget. Exercises the whole stack — native FLAC decode, feature
+cache, prefetch loader, jitted train step, checkpointing, greedy decode,
+metrics, weight export.
+"""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from speecht_tpu import corpus as corpus_mod
+from speecht_tpu.cli import CLI
+
+FIXTURE_DIR = "/root/reference/speecht/tests/data"
+FIXTURE_ID = "1089-134686-0037"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(FIXTURE_DIR), reason="fixture unavailable"
+)
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    data = root / "data"
+    for split in ("train", "dev", "test"):
+        d = data / split
+        d.mkdir(parents=True)
+        shutil.copy(
+            os.path.join(FIXTURE_DIR, "train", FIXTURE_ID + ".flac"), d
+        )
+        shutil.copy(
+            os.path.join(FIXTURE_DIR, "train", "1089-134686.trans.txt"), d
+        )
+    # pre-mark every corpus set as extracted so no download is attempted
+    for set_type, set_name in corpus_mod.DATA_SETS:
+        (data / set_type / set_name).mkdir(parents=True, exist_ok=True)
+    return root
+
+
+def run_cli(workdir, *args):
+    common = [
+        "--data-dir", str(workdir / "data"),
+        "--train-dir", str(workdir / "train"),
+        "--log-dir", str(workdir / "log"),
+        "--run-name", "e2e",
+        "--batch-size", "1",
+    ]
+    return CLI(list(args) + common).run()
+
+
+def test_preprocess(workdir):
+    run_cli(workdir, "preprocess", "--num-workers", "1")
+    cache = workdir / "data" / "preprocessed-power"
+    for split in ("train", "dev", "test"):
+        files = list((cache / split).glob("*.npz"))
+        assert len(files) == 1, split
+    data = np.load(cache / "train" / (FIXTURE_ID + ".npz"))
+    assert data["audio_fragments"].shape == (1 + 114881 // 160, 128)
+
+
+def test_train_two_steps(workdir):
+    state = run_cli(
+        workdir,
+        "train",
+        "--max-steps", "2",
+        "--steps-per-checkpoint", "1",
+        "--learning-rate", "1e-4",
+    )
+    assert int(state.step) == 2
+    # checkpoint written
+    from speecht_tpu.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(workdir / "train" / "e2e"))
+    assert mgr.latest_step() == 2
+    mgr.close()
+    # training summaries written
+    logs = list((workdir / "log" / "e2e_train").glob("events.out.tfevents.*"))
+    assert logs
+
+
+def test_train_resumes_from_checkpoint(workdir):
+    state = run_cli(
+        workdir,
+        "train",
+        "--max-steps", "1",
+        "--steps-per-checkpoint", "1",
+    )
+    assert int(state.step) == 3  # resumed from step 2
+
+
+def test_evaluate(workdir, capsys):
+    stats = run_cli(workdir, "evaluate", "--test", "--step-count", "1")
+    assert stats.decodings_counter == 1
+    out = capsys.readouterr().out
+    assert "expected: " in out
+    assert "Global statistics" in out
+    # the expected transcript is the fixture's text
+    assert "in the silence their dark fire kindled the dusk into a tawny glow" in out
+
+
+def test_export(workdir):
+    written = run_cli(
+        workdir,
+        "export",
+        "--weights", str(workdir / "weights"),
+        "--input-size", "128",
+    )
+    assert len(written) == 22  # 11 conv layers x (kernel, bias)
+    kernel0 = np.load(workdir / "weights" / "conv_0" / "kernel.npy")
+    assert kernel0.shape == (48, 128, 250)
