@@ -110,8 +110,104 @@ def _load():
     lib.st_free.restype = None
     lib.st_free.argtypes = [ctypes.c_void_p]
 
+    lib.st_lm_load.restype = ctypes.c_void_p
+    lib.st_lm_load.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.st_lm_free.restype = None
+    lib.st_lm_free.argtypes = [ctypes.c_void_p]
+    lib.st_lm_order.restype = ctypes.c_int
+    lib.st_lm_order.argtypes = [ctypes.c_void_p]
+    lib.st_lm_score_word.restype = ctypes.c_float
+    lib.st_lm_score_word.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+    ]
+    lib.st_lm_has_word.restype = ctypes.c_int
+    lib.st_lm_has_word.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.st_ctc_beam_search.restype = ctypes.c_int
+    lib.st_ctc_beam_search.argtypes = [
+        ctypes.POINTER(ctypes.c_float),  # log_probs
+        ctypes.c_int64,  # T
+        ctypes.c_int32,  # C
+        ctypes.c_int32,  # blank_id
+        ctypes.c_int32,  # beam_width
+        ctypes.c_void_p,  # lm
+        ctypes.c_float,  # lm_weight
+        ctypes.c_float,  # word_count_weight
+        ctypes.c_float,  # valid_word_count_weight
+        ctypes.c_int32,  # prune_top_k
+        ctypes.POINTER(ctypes.c_int32),  # out_ids
+        ctypes.c_int32,  # out_capacity
+    ]
+
     _lib = lib
     return lib
+
+
+class NGramLM:
+    """ARPA backoff word LM + vocabulary trie (native handle)."""
+
+    def __init__(self, arpa_path: str, vocab_path: str | None = None):
+        lib = _load()
+        self._lib = lib
+        self._handle = lib.st_lm_load(
+            arpa_path.encode(), (vocab_path or "").encode()
+        )
+        if not self._handle:
+            raise ValueError(f"failed to load ARPA LM from {arpa_path}")
+
+    @property
+    def order(self) -> int:
+        return self._lib.st_lm_order(self._handle)
+
+    def score_word(self, history: str, word: str) -> float:
+        """log10 P(word | history words)."""
+        return float(
+            self._lib.st_lm_score_word(
+                self._handle, history.encode(), word.encode()
+            )
+        )
+
+    def has_word(self, word: str) -> bool:
+        return bool(self._lib.st_lm_has_word(self._handle, word.encode()))
+
+    def __del__(self):
+        handle = getattr(self, "_handle", None)
+        if handle:
+            self._lib.st_lm_free(handle)
+            self._handle = None
+
+
+def ctc_beam_search(
+    log_probs: np.ndarray,
+    beam_width: int = 100,
+    lm: "NGramLM | None" = None,
+    lm_weight: float = 0.8,
+    word_count_weight: float = 0.0,
+    valid_word_count_weight: float = 2.3,
+    blank_id: int = 28,
+    prune_top_k: int = 8,
+) -> np.ndarray:
+    """Prefix beam search over [T, C] natural-log emissions -> decoded ids."""
+    lib = _load()
+    log_probs = np.ascontiguousarray(log_probs, dtype=np.float32)
+    T, C = log_probs.shape
+    out = np.zeros(max(T, 1), dtype=np.int32)
+    n = lib.st_ctc_beam_search(
+        log_probs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        T,
+        C,
+        blank_id,
+        beam_width,
+        lm._handle if lm is not None else None,
+        lm_weight,
+        word_count_weight,
+        valid_word_count_weight,
+        prune_top_k,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(out),
+    )
+    return out[:n]
 
 
 def _take_float_buffer(lib, ptr, count: int) -> np.ndarray:

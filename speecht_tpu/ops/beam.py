@@ -1,0 +1,135 @@
+"""Beam-search CTC decoding: device lattice prep + host C++ LM-fused beam.
+
+Capability parity with the reference's LM decoding path (reference:
+speecht/speech_model.py:101-111 — forked ctc_beam_search_decoder with
+KenLM directory, the three shallow-fusion weights as runtime placeholders,
+beam_width=100, top_paths=1). The split here is TPU-idiomatic:
+
+  device (jit): forward -> log-softmax -> blank collapse (drop frames whose
+    blank probability exceeds a threshold — arXiv:2210.17017) — shrinking
+    T by typically 3-5x before anything leaves the chip;
+  host (C++):  prefix beam search with ARPA n-gram shallow fusion and the
+    vocabulary trie (speecht_tpu/native/beam_search.cpp), parallel over
+    the batch with a thread pool.
+
+The three weights are plain call arguments — never baked into compiled
+code — so `speecht-cli search` can mutate them per evaluation (reference
+parameter_search.py:80-85 placeholder semantics).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import os
+
+import jax
+import numpy as np
+
+from speecht_tpu import native, vocabulary
+from speecht_tpu.models.wav2letter import output_length
+from speecht_tpu.ops import decode as decode_ops
+from speecht_tpu.train import step as tstep
+
+
+def find_lm_files(directory: str) -> tuple[str, str | None]:
+    """Locate (arpa_model, vocabulary) in an LM directory.
+
+    Accepts KenLM-style layouts: an ``*.arpa`` (or ``kenlm-model.arpa``)
+    plus an optional ``vocabulary`` file (reference speecht-cli:84-88 names
+    `kenlm-model.binary`, `vocabulary`, `trie`; the binary/trie formats are
+    KenLM-internal — this framework consumes the ARPA source, which KenLM
+    ships alongside).
+    """
+    arpa = None
+    for name in sorted(os.listdir(directory)):
+        if name.endswith(".arpa") or name.endswith(".arpa.txt"):
+            arpa = os.path.join(directory, name)
+            break
+    if arpa is None:
+        raise FileNotFoundError(
+            f"no .arpa language model found in {directory}"
+        )
+    vocab = os.path.join(directory, "vocabulary")
+    return arpa, (vocab if os.path.exists(vocab) else None)
+
+
+class BeamSearchDecoder:
+    """Batch beam-search decoder with optional n-gram LM shallow fusion."""
+
+    def __init__(self, model, lm_config, blank_threshold: float = 0.999,
+                 num_threads: int | None = None):
+        self.model = model
+        self.lm_config = lm_config
+        self.blank_threshold = blank_threshold
+        self.lm = None
+        if lm_config.language_model:
+            arpa, vocab = find_lm_files(lm_config.language_model)
+            self.lm = native.NGramLM(arpa, vocab)
+        self._loss_fn = tstep.make_loss_fn(model)
+        self._pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=num_threads or min(32, (os.cpu_count() or 8))
+        )
+
+        @jax.jit
+        def device_part(params, batch):
+            avg_loss, logits = self._loss_fn(params, batch)
+            logit_lengths = output_length(batch.seq_lengths)
+            logp, new_lengths = decode_ops.blank_collapse(
+                logits, logit_lengths, self.blank_threshold
+            )
+            return avg_loss, logp, new_lengths
+
+        self._device_part = device_part
+
+    def decode_emissions(
+        self,
+        logp: np.ndarray,
+        lengths: np.ndarray,
+        lm_weight: float | None = None,
+        word_count_weight: float | None = None,
+        valid_word_count_weight: float | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Host beam over [B, T, C] log-probs -> (ids [B, T], lengths [B])."""
+        cfg = self.lm_config
+        lm_w = cfg.lm_weight if lm_weight is None else lm_weight
+        wc_w = (
+            cfg.word_count_weight
+            if word_count_weight is None
+            else word_count_weight
+        )
+        vwc_w = (
+            cfg.valid_word_count_weight
+            if valid_word_count_weight is None
+            else valid_word_count_weight
+        )
+
+        B, T, _C = logp.shape
+        out = np.full((B, T), vocabulary.PAD_ID, dtype=np.int32)
+        out_lengths = np.zeros(B, dtype=np.int32)
+
+        def one(i):
+            ids = native.ctc_beam_search(
+                logp[i, : lengths[i]],
+                beam_width=cfg.beam_width,
+                lm=self.lm,
+                lm_weight=lm_w,
+                word_count_weight=wc_w,
+                valid_word_count_weight=vwc_w,
+                blank_id=vocabulary.BLANK_ID,
+            )
+            return i, ids
+
+        for i, ids in self._pool.map(one, range(B)):
+            out[i, : len(ids)] = ids
+            out_lengths[i] = len(ids)
+        return out, out_lengths
+
+    def eval_step(self, params, batch, **weight_overrides):
+        """(loss, decoded_ids, decoded_lengths) — drop-in for make_eval_step."""
+        avg_loss, logp, lengths = self._device_part(params, batch)
+        logp = np.asarray(logp)
+        lengths = np.asarray(lengths)
+        decoded, dec_lengths = self.decode_emissions(
+            logp, lengths, **weight_overrides
+        )
+        return avg_loss, decoded, dec_lengths

@@ -1,0 +1,203 @@
+"""Beam search + n-gram LM tests.
+
+Pins the host C++ prefix beam search against brute-force path enumeration
+(no LM), greedy decode on confident emissions, and checks ARPA LM loading,
+backoff scoring, vocabulary trie, and shallow-fusion weight effects
+(reference speech_model.py:101-111 semantics).
+"""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from speecht_tpu import native, vocabulary
+
+BLANK = vocabulary.BLANK_ID
+
+
+def softmax_logs(logits):
+    x = logits - logits.max(-1, keepdims=True)
+    p = np.exp(x)
+    return np.log(p / p.sum(-1, keepdims=True)).astype(np.float32)
+
+
+def brute_force_best_label(log_probs, classes):
+    """Exact argmax_label P(label) by enumerating alignments."""
+    T = log_probs.shape[0]
+    scores = {}
+    for path in itertools.product(classes, repeat=T):
+        collapsed = []
+        prev = None
+        for p in path:
+            if p != prev and p != BLANK:
+                collapsed.append(p)
+            prev = p
+        key = tuple(collapsed)
+        lp = sum(log_probs[t, c] for t, c in enumerate(path))
+        scores[key] = np.logaddexp(scores.get(key, -np.inf), lp)
+    return max(scores.items(), key=lambda kv: kv[1])[0]
+
+
+class TestBeamNoLM:
+    def test_matches_brute_force(self):
+        rng = np.random.RandomState(0)
+        for trial in range(5):
+            T = 5
+            logits = np.full((T, vocabulary.NUM_CLASSES), -20.0, np.float32)
+            classes = [0, 1, BLANK]
+            for c in classes:
+                logits[:, c] = rng.randn(T)
+            logp = softmax_logs(logits)
+            expected = brute_force_best_label(logp, classes)
+            got = native.ctc_beam_search(logp, beam_width=40, prune_top_k=0)
+            assert tuple(got) == expected, trial
+
+    def test_confident_emissions_match_greedy(self):
+        # when one path dominates, beam == greedy
+        path = [0, 0, BLANK, 1, 1, BLANK, 2, BLANK, BLANK, 3]
+        logits = np.full((len(path), vocabulary.NUM_CLASSES), -10.0, np.float32)
+        for t, c in enumerate(path):
+            logits[t, c] = 10.0
+        got = native.ctc_beam_search(softmax_logs(logits), beam_width=10)
+        assert list(got) == [0, 1, 2, 3]
+
+    def test_beam_beats_greedy_on_classic_case(self):
+        # classic: greedy picks blank-heavy path, beam sums over alignments
+        # frame probs: p(a)=0.4, p(blank)=0.6 twice
+        # P(greedy="") uses only blank-blank = 0.36
+        # P("a") = 0.4*0.6 + 0.6*0.4 + 0.4*0.4 = 0.64 -> beam must return "a"
+        logp = np.log(
+            np.array(
+                [[0.4] + [1e-9] * 27 + [0.6], [0.4] + [1e-9] * 27 + [0.6]],
+                dtype=np.float32,
+            )
+        )
+        got = native.ctc_beam_search(logp, beam_width=10)
+        assert list(got) == [0]
+
+
+ARPA = """\\data\\
+ngram 1=7
+ngram 2=4
+
+\\1-grams:
+-1.0\t<unk>
+-0.5\t<s>\t-0.4
+-0.6\t</s>
+-0.9\tthe\t-0.3
+-1.2\tcat\t-0.2
+-1.4\tdog\t-0.2
+-1.1\tsat\t-0.1
+
+\\2-grams:
+-0.3\tthe cat
+-0.8\tthe dog
+-0.4\tcat sat
+-0.25\t<s> the
+
+\\end\\
+"""
+
+
+@pytest.fixture
+def lm_dir(tmp_path):
+    (tmp_path / "model.arpa").write_text(ARPA)
+    (tmp_path / "vocabulary").write_text("the\ncat\ndog\nsat\n")
+    return tmp_path
+
+
+class TestNGramLM:
+    def test_load_and_order(self, lm_dir):
+        lm = native.NGramLM(str(lm_dir / "model.arpa"))
+        assert lm.order == 2
+
+    def test_unigram_and_bigram_scores(self, lm_dir):
+        lm = native.NGramLM(str(lm_dir / "model.arpa"))
+        assert lm.score_word("", "the") == pytest.approx(-0.25)  # <s> the
+        assert lm.score_word("the", "cat") == pytest.approx(-0.3)
+        # backoff: "dog sat" unseen -> backoff(dog) + unigram(sat)
+        assert lm.score_word("dog", "sat") == pytest.approx(-0.2 + -1.1)
+        # unknown word -> <unk>
+        assert lm.score_word("the", "xylophone") == pytest.approx(
+            -0.3 + -1.0, abs=0.11
+        ) or lm.score_word("the", "xylophone") <= -1.0
+
+    def test_vocabulary_trie(self, lm_dir):
+        lm = native.NGramLM(
+            str(lm_dir / "model.arpa"), str(lm_dir / "vocabulary")
+        )
+        assert lm.has_word("cat")
+        assert lm.has_word("the")
+        assert not lm.has_word("ca")
+        assert not lm.has_word("cats")
+        assert not lm.has_word("xyz")
+
+
+def emissions_for_text(text, confidence=3.0, smear=None):
+    """Emissions favoring `text`, with optional per-frame alternates."""
+    ids = vocabulary.sentence_to_ids(text)
+    T = len(ids)
+    logits = np.zeros((T, vocabulary.NUM_CLASSES), np.float32)
+    for t, c in enumerate(ids):
+        logits[t, c] = confidence
+        if smear and t in smear:
+            alt, strength = smear[t]
+            logits[t, alt] = strength
+    return softmax_logs(logits)
+
+
+class TestShallowFusion:
+    def test_valid_word_bonus_steers_decoding(self, lm_dir):
+        lm = native.NGramLM(
+            str(lm_dir / "model.arpa"), str(lm_dir / "vocabulary")
+        )
+        # acoustics slightly prefer "cbt " over "cat " (b vs a ambiguous)
+        logp = emissions_for_text("cbt ", smear={1: (0, 2.9)})
+        no_lm = native.ctc_beam_search(logp, beam_width=30)
+        assert vocabulary.ids_to_sentence(no_lm).startswith("cbt")
+
+        with_lm = native.ctc_beam_search(
+            logp,
+            beam_width=30,
+            lm=lm,
+            lm_weight=0.0,
+            word_count_weight=0.0,
+            valid_word_count_weight=5.0,
+        )
+        assert vocabulary.ids_to_sentence(with_lm).startswith("cat")
+
+    def test_lm_weight_steers_word_choice(self, lm_dir):
+        lm = native.NGramLM(
+            str(lm_dir / "model.arpa"), str(lm_dir / "vocabulary")
+        )
+        # "the dog " vs "the dag ": acoustics ambiguous on o/a,
+        # only "dog" is a word and "the dog" is a bigram
+        logp = emissions_for_text("the dag ", smear={5: (14, 2.95)})
+        with_lm = native.ctc_beam_search(
+            logp,
+            beam_width=50,
+            lm=lm,
+            lm_weight=2.0,
+            word_count_weight=0.0,
+            valid_word_count_weight=2.0,
+        )
+        assert vocabulary.ids_to_sentence(with_lm).strip() == "the dog"
+
+    def test_word_count_weight_effect(self, lm_dir):
+        # strongly negative word count weight suppresses word splits
+        lm = native.NGramLM(
+            str(lm_dir / "model.arpa"), str(lm_dir / "vocabulary")
+        )
+        logp = emissions_for_text("cat sat ", confidence=1.2)
+        many = native.ctc_beam_search(
+            logp, beam_width=50, lm=lm, lm_weight=0.0,
+            word_count_weight=3.0, valid_word_count_weight=0.0,
+        )
+        few = native.ctc_beam_search(
+            logp, beam_width=50, lm=lm, lm_weight=0.0,
+            word_count_weight=-6.0, valid_word_count_weight=0.0,
+        )
+        many_words = len(vocabulary.ids_to_sentence(many).split())
+        few_words = len(vocabulary.ids_to_sentence(few).split())
+        assert many_words >= few_words

@@ -105,6 +105,63 @@ def test_evaluate(workdir, capsys):
     assert "in the silence their dark fire kindled the dusk into a tawny glow" in out
 
 
+def _write_lm(workdir):
+    lm_dir = workdir / "lm"
+    if not lm_dir.exists():
+        lm_dir.mkdir()
+        from tests.test_beam import ARPA
+
+        (lm_dir / "model.arpa").write_text(ARPA)
+        (lm_dir / "vocabulary").write_text(
+            "in\nthe\nsilence\ntheir\ndark\nfire\nkindled\ndusk\ninto\na\n"
+            "tawny\nglow\n"
+        )
+    return lm_dir
+
+
+def test_evaluate_with_language_model(workdir, capsys):
+    lm_dir = _write_lm(workdir)
+    stats = run_cli(
+        workdir,
+        "evaluate", "--test", "--step-count", "1", "--no-save",
+        "--language-model", str(lm_dir), "--beam-width", "8",
+    )
+    assert stats.decodings_counter == 1
+    out = capsys.readouterr().out
+    assert "Global statistics" in out
+
+
+def test_parameter_search(workdir, capsys):
+    lm_dir = _write_lm(workdir)
+    from speecht_tpu.cli import CLI
+
+    cli = CLI(
+        [
+            "search",
+            "--language-model", str(lm_dir),
+            "--noise-std", "0.5",
+            "--population-size", "3",
+            "--step-count", "1",
+            "--beam-width", "8",
+            "--data-dir", str(workdir / "data"),
+            "--train-dir", str(workdir / "train"),
+            "--log-dir", str(workdir / "log"),
+            "--run-name", "e2e",
+            "--batch-size", "1",
+        ]
+    )
+    cli._ensure_directories()
+    executor = cli.command_executor
+    candidates = executor.run(max_iterations=3)
+    assert len(candidates) >= 1
+    assert all(c.score is not None for c in candidates)
+    # population sorted ascending by score
+    scores = [c.score for c in candidates]
+    assert scores == sorted(scores)
+    out = capsys.readouterr().out
+    assert "Candidate" in out
+
+
 def test_export(workdir):
     written = run_cli(
         workdir,
