@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import optax
 
 from speecht_tpu.models.wav2letter import Wav2Letter, output_length
-from speecht_tpu.ops import ctc, decode
+from speecht_tpu.ops import ctc_pallas, decode
 from speecht_tpu.train.state import TrainState
 
 
@@ -35,8 +35,9 @@ def make_loss_fn(model: Wav2Letter) -> Callable:
     def loss_fn(params, batch):
         logits = model.apply({"params": params}, batch.features)
         logit_lengths = output_length(batch.seq_lengths)
-        # padded rows (seq_length 0) contribute loss 0
-        losses = ctc.ctc_loss(
+        # padded rows (seq_length 0) contribute loss 0; the loss dispatches
+        # to the Pallas alpha-beta kernels on TPU, the XLA scan elsewhere
+        losses = ctc_pallas.ctc_loss(
             logits, logit_lengths, batch.labels, batch.label_lengths
         )
         real = (batch.seq_lengths > 0).astype(jnp.float32)

@@ -1,0 +1,111 @@
+"""Pallas CTC kernel tests (interpret mode — runs on the CPU mesh).
+
+The kernels' compiled-on-TPU path is exercised by bench/driver runs; here
+the Mosaic interpreter checks bit-level agreement with the XLA scan CTC
+(itself pinned against f64 recursion and brute force in test_ctc.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from speecht_tpu import vocabulary
+from speecht_tpu.ops import ctc as ctc_xla
+from speecht_tpu.ops import ctc_pallas
+
+
+def _case(seed, B=5, T=70, L=4, C_real=28):
+    rng = np.random.RandomState(seed)
+    C = vocabulary.NUM_CLASSES
+    logits = rng.randn(B, T, C).astype(np.float32)
+    labels = np.full((B, L), vocabulary.PAD_ID, dtype=np.int32)
+    label_lengths = rng.randint(1, L + 1, size=B).astype(np.int32)
+    for b in range(B):
+        labels[b, : label_lengths[b]] = rng.randint(
+            0, C_real, size=label_lengths[b]
+        )
+    logit_lengths = rng.randint(2 * L, T + 1, size=B).astype(np.int32)
+    return logits, logit_lengths, labels, label_lengths
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_loss_matches_xla(seed):
+    logits, logit_lengths, labels, label_lengths = _case(seed)
+    with pltpu.force_tpu_interpret_mode():
+        ref = np.asarray(
+            ctc_xla.ctc_loss(logits, logit_lengths, labels, label_lengths)
+        )
+        got = np.asarray(
+            ctc_pallas.ctc_loss_pallas(
+                jnp.asarray(logits),
+                jnp.asarray(logit_lengths),
+                jnp.asarray(labels),
+                jnp.asarray(label_lengths),
+            )
+        )
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_grad_matches_xla():
+    logits, logit_lengths, labels, label_lengths = _case(2)
+    with pltpu.force_tpu_interpret_mode():
+        g_ref = np.asarray(
+            jax.grad(
+                lambda x: jnp.sum(
+                    ctc_xla.ctc_loss(x, logit_lengths, labels, label_lengths)
+                )
+            )(jnp.asarray(logits))
+        )
+        g_pal = np.asarray(
+            jax.grad(
+                lambda x: jnp.sum(
+                    ctc_pallas.ctc_loss_pallas(
+                        x,
+                        jnp.asarray(logit_lengths),
+                        jnp.asarray(labels),
+                        jnp.asarray(label_lengths),
+                    )
+                )
+            )(jnp.asarray(logits))
+        )
+    np.testing.assert_allclose(g_pal, g_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_ragged_batch_and_odd_time():
+    # batch smaller than BATCH_TILE, T not a multiple of TIME_BLOCK,
+    # one empty label
+    logits, logit_lengths, labels, label_lengths = _case(3, B=3, T=33, L=5)
+    label_lengths[0] = 0
+    labels[0, :] = vocabulary.PAD_ID
+    with pltpu.force_tpu_interpret_mode():
+        ref = np.asarray(
+            ctc_xla.ctc_loss(logits, logit_lengths, labels, label_lengths)
+        )
+        got = np.asarray(
+            ctc_pallas.ctc_loss_pallas(
+                jnp.asarray(logits),
+                jnp.asarray(logit_lengths),
+                jnp.asarray(labels),
+                jnp.asarray(label_lengths),
+            )
+        )
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_dispatcher_uses_xla_on_cpu():
+    # off-TPU, ctc_pallas.ctc_loss must route to the XLA implementation
+    logits, logit_lengths, labels, label_lengths = _case(4)
+    got = np.asarray(
+        ctc_pallas.ctc_loss(
+            jnp.asarray(logits),
+            jnp.asarray(logit_lengths),
+            jnp.asarray(labels),
+            jnp.asarray(label_lengths),
+        )
+    )
+    ref = np.asarray(
+        ctc_xla.ctc_loss(logits, logit_lengths, labels, label_lengths)
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
