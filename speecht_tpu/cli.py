@@ -118,6 +118,10 @@ class CLI:
             "--max-steps", dest="max_steps", type=int, default=None,
             help="Stop after this many steps (default: run forever).",
         )
+        p.add_argument(
+            "--profile-steps", dest="profile_steps", type=str, default=None,
+            help="Capture a jax.profiler trace over steps START:STOP.",
+        )
 
     def _add_evaluation_parser(self):
         p = self.subparsers.add_parser(
@@ -131,6 +135,13 @@ class CLI:
             help="Do not save evaluation summaries.",
         )
         p.add_argument("--step-count", dest="step_count", type=int, default=0)
+        p.add_argument(
+            "--reference-weights", dest="reference_weights", type=str,
+            default=None,
+            help="Evaluate weights exported by the reference implementation "
+            "(directory of convolution_layer_*/filters.npy files) instead "
+            "of a checkpoint.",
+        )
         self._add_language_model_arguments(p)
         p.set_defaults(dataset="test", should_save=True)
 
@@ -141,6 +152,10 @@ class CLI:
             parents=[self.base_parser],
         )
         p.add_argument("--input-size", dest="input_size", type=int, default=128)
+        p.add_argument(
+            "--streaming", dest="streaming", action="store_true",
+            help="Low-latency incremental transcription while recording.",
+        )
         self._add_language_model_arguments(p)
 
     def _add_parameter_search_parser(self):

@@ -61,7 +61,19 @@ class Evaluation(DatasetExecutor):
         flags = self.flags
         state, _tx = init_state(self.model, flags)
         ckpt = self.checkpoint_manager()
-        state = ckpt.restore(state)  # fatal when missing (reference parity)
+        ref_weights = getattr(flags, "reference_weights", None)
+        if ref_weights:
+            # parity gating against the reference's exported best_run
+            # weights (speecht_tpu/compat.py)
+            from speecht_tpu import compat
+
+            state = state.replace(
+                params=compat.import_reference_weights(
+                    state.params, ref_weights
+                )
+            )
+        else:
+            state = ckpt.restore(state)  # fatal when missing (parity)
 
         eval_step = self.make_decoder()
         writer = None

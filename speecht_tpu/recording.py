@@ -42,6 +42,10 @@ class Recording:
         state, _tx = init_state(model, flags)
         ckpt = CheckpointManager(flags.run_train_dir)
         state = ckpt.restore(state)
+
+        if getattr(flags, "streaming", False):
+            return self._run_streaming(model, state, recorder, sample_rate)
+
         decoder = self._make_decoder(model)
 
         while True:
@@ -68,3 +72,42 @@ class Recording:
                 decoded[0, : dec_lengths[0]]
             )
             print(f"decoded: {decoded_str}")
+
+    def _run_streaming(self, model, state, recorder, sample_rate):
+        """Low-latency mode: incremental transcription while audio arrives.
+
+        Reads raw chunks straight off the microphone stream (no silence
+        gate) and refreshes the partial transcript after each chunk.
+        """
+        from speecht_tpu.ops.streaming import StreamingRecognizer
+
+        rec = StreamingRecognizer(
+            model,
+            state.params,
+            sample_rate=sample_rate,
+            feature_type=self.flags.feature_type,
+        )
+        pa = recorder._pyaudio_mod
+        stream = recorder._pyaudio.open(
+            format=pa.paFloat32,
+            channels=1,
+            rate=sample_rate,
+            input=True,
+            frames_per_buffer=recorder.chunk_size,
+        )
+        print("Streaming transcription (ctrl-c to stop)")
+        try:
+            while True:
+                chunk = np.frombuffer(
+                    stream.read(recorder.chunk_size), dtype=np.float32
+                )
+                partial = rec.accept_chunk(chunk)
+                print(f"\rpartial: {partial}", end="", flush=True)
+        except KeyboardInterrupt:
+            print()
+            final = rec.finalize()
+            print(f"decoded: {final}")
+            return final
+        finally:
+            stream.stop_stream()
+            stream.close()

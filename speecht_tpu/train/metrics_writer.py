@@ -20,6 +20,8 @@ import socket
 import struct
 import time
 
+import numpy as np
+
 
 def _crc32c_table():
     poly = 0x82F63B78
@@ -75,11 +77,34 @@ def _field_bytes(num: int, value: bytes) -> bytes:
     return bytes([num << 3 | 2]) + _varint(len(value)) + value
 
 
+def _packed_doubles(num: int, values) -> bytes:
+    payload = b"".join(struct.pack("<d", float(v)) for v in values)
+    return bytes([num << 3 | 2]) + _varint(len(payload)) + payload
+
+
+def _histogram_proto(values: np.ndarray) -> bytes:
+    """tensorflow.HistogramProto wire encoding.
+
+    Fields: 1=min 2=max 3=num 4=sum 5=sum_squares 6=bucket_limit[] 7=bucket[]
+    """
+    values = np.asarray(values, dtype=np.float64).ravel()
+    counts, edges = np.histogram(values, bins=30)
+    msg = _field_double(1, float(values.min()))
+    msg += _field_double(2, float(values.max()))
+    msg += _field_double(3, float(values.size))
+    msg += _field_double(4, float(values.sum()))
+    msg += _field_double(5, float(np.square(values).sum()))
+    msg += _packed_doubles(6, edges[1:])
+    msg += _packed_doubles(7, counts)
+    return msg
+
+
 def _event(
     wall_time: float,
     step: int = 0,
     file_version: str | None = None,
     scalars: dict[str, float] | None = None,
+    histograms: dict[str, np.ndarray] | None = None,
 ) -> bytes:
     # tensorflow.Event: 1=wall_time, 2=step, 3=file_version, 5=summary
     msg = _field_double(1, wall_time)
@@ -87,12 +112,18 @@ def _event(
         msg += _field_varint(2, step)
     if file_version is not None:
         msg += _field_bytes(3, file_version.encode())
-    if scalars:
-        summary = b""
-        for tag, value in scalars.items():
-            # Summary.Value: 1=tag, 2=simple_value
-            val = _field_bytes(1, tag.encode()) + _field_float(2, float(value))
-            summary += _field_bytes(1, val)
+    summary = b""
+    for tag, value in (scalars or {}).items():
+        # Summary.Value: 1=tag, 2=simple_value
+        val = _field_bytes(1, tag.encode()) + _field_float(2, float(value))
+        summary += _field_bytes(1, val)
+    for tag, values in (histograms or {}).items():
+        # Summary.Value: 1=tag, 3=histo
+        val = _field_bytes(1, tag.encode()) + _field_bytes(
+            3, _histogram_proto(values)
+        )
+        summary += _field_bytes(1, val)
+    if summary:
         msg += _field_bytes(5, summary)
     return msg
 
@@ -121,6 +152,14 @@ class SummaryWriter:
 
     def add_scalar(self, tag: str, value: float, step: int):
         self.add_scalars(step, {tag: value})
+
+    def add_histograms(self, step: int, histograms: dict):
+        """Histogram summaries (parity with the reference's per-layer
+        filter/bias/activation and logits histograms,
+        speech_model.py:50-51,:158-178)."""
+        self._write_record(
+            _event(time.time(), step=step, histograms=histograms)
+        )
 
     def flush(self):
         self._f.flush()

@@ -72,10 +72,26 @@ class Training(DatasetExecutor):
         previous_losses: list[float] = []
         spc = flags.steps_per_checkpoint
 
+        # optional jax.profiler trace capture over a step interval
+        # (--profile-steps start:stop; SURVEY.md §5 tracing subsystem)
+        profile_range = None
+        if getattr(flags, "profile_steps", None):
+            lo, _, hi = flags.profile_steps.partition(":")
+            profile_range = (int(lo), int(hi or int(lo) + 5))
+        profiling = False
+
         print("Begin training")
         with pmesh.use_mesh(self.mesh):
             loader = self.create_loader()
             for batch in loader:
+                if profile_range and not profiling and int(state.step) == profile_range[0]:
+                    import jax
+
+                    jax.profiler.start_trace(
+                        os.path.join(flags.log_dir, "profile")
+                    )
+                    profiling = True
+
                 start_time = time.time()
                 state, metrics = train_step(state, batch)
                 avg_loss = float(metrics["loss"])
@@ -83,6 +99,12 @@ class Training(DatasetExecutor):
                 loss += avg_loss / spc
 
                 current_step = int(state.step)
+                if profiling and current_step >= profile_range[1]:
+                    import jax
+
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    print(f"Profiler trace written to {flags.log_dir}/profile")
                 if current_step % spc == 0:
                     lr = float(state.learning_rate)
                     print(
@@ -103,6 +125,24 @@ class Training(DatasetExecutor):
                             "learning_rate": lr,
                             "grad_norm": float(metrics["grad_norm"]),
                             "step_time": step_time,
+                        },
+                    )
+                    # per-layer parameter histograms (parity with the
+                    # reference's filter/bias histograms,
+                    # speech_model.py:158-178)
+                    import jax as _jax
+                    import numpy as _np
+
+                    flat = _jax.tree_util.tree_flatten_with_path(
+                        state.params
+                    )[0]
+                    writer.add_histograms(
+                        current_step,
+                        {
+                            "/".join(
+                                getattr(p, "key", str(p)) for p in path
+                            ): _np.asarray(value)
+                            for path, value in flat
                         },
                     )
                     writer.flush()
