@@ -31,6 +31,9 @@ INPUT_SIZE = 128
 
 
 def main():
+    from speecht_tpu import runtime
+
+    runtime.enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     import flax.linen as nn

@@ -261,6 +261,12 @@ class CLI:
         if not self.parsed.command:
             self.parser.print_help()
             return None
+        if self.parsed.command != "preprocess":
+            # persistent XLA compilation cache (cold remote compiles of the
+            # full train step take minutes)
+            from speecht_tpu import runtime
+
+            runtime.enable_compilation_cache()
         self._ensure_directories()
         return self.command_executor.run()
 
