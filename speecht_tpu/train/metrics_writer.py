@@ -19,6 +19,7 @@ import os
 import socket
 import struct
 import time
+import zlib
 
 import numpy as np
 
@@ -99,12 +100,50 @@ def _histogram_proto(values: np.ndarray) -> bytes:
     return msg
 
 
+def encode_png_grayscale(img: np.ndarray) -> bytes:
+    """Minimal 8-bit grayscale PNG encoder (zlib from the stdlib)."""
+    arr = np.asarray(img, dtype=np.float64)
+    lo, hi = float(arr.min()), float(arr.max())
+    scale = 255.0 / (hi - lo) if hi > lo else 0.0
+    u8 = ((arr - lo) * scale).astype(np.uint8)
+    h, w = u8.shape
+    raw = b"".join(b"\x00" + row.tobytes() for row in u8)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _image_proto(img: np.ndarray) -> bytes:
+    """tensorflow.Summary.Image: 1=height 2=width 3=colorspace 4=png bytes."""
+    h, w = img.shape
+    return (
+        _field_varint(1, h)
+        + _field_varint(2, w)
+        + _field_varint(3, 1)  # grayscale
+        + _field_bytes(4, encode_png_grayscale(img))
+    )
+
+
 def _event(
     wall_time: float,
     step: int = 0,
     file_version: str | None = None,
     scalars: dict[str, float] | None = None,
     histograms: dict[str, np.ndarray] | None = None,
+    images: dict[str, np.ndarray] | None = None,
 ) -> bytes:
     # tensorflow.Event: 1=wall_time, 2=step, 3=file_version, 5=summary
     msg = _field_double(1, wall_time)
@@ -118,9 +157,15 @@ def _event(
         val = _field_bytes(1, tag.encode()) + _field_float(2, float(value))
         summary += _field_bytes(1, val)
     for tag, values in (histograms or {}).items():
-        # Summary.Value: 1=tag, 3=histo
+        # Summary.Value: 1=tag, 5=histo
         val = _field_bytes(1, tag.encode()) + _field_bytes(
-            3, _histogram_proto(values)
+            5, _histogram_proto(values)
+        )
+        summary += _field_bytes(1, val)
+    for tag, img in (images or {}).items():
+        # Summary.Value: 1=tag, 4=image
+        val = _field_bytes(1, tag.encode()) + _field_bytes(
+            4, _image_proto(np.asarray(img))
         )
         summary += _field_bytes(1, val)
     if summary:
@@ -160,6 +205,11 @@ class SummaryWriter:
         self._write_record(
             _event(time.time(), step=step, histograms=histograms)
         )
+
+    def add_images(self, step: int, images: dict):
+        """Grayscale image summaries from 2-D arrays (parity with the
+        reference's logits/filter/bias images, speech_model.py:49,:158-172)."""
+        self._write_record(_event(time.time(), step=step, images=images))
 
     def flush(self):
         self._f.flush()

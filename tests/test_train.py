@@ -235,6 +235,49 @@ class TestMetricsWriter:
         assert scalars[("learning_rate", 10)] == pytest.approx(1e-4)
         assert scalars[("loss", 20)] == pytest.approx(0.75)
 
+    def test_histograms_and_images_readable(self, tmp_path):
+        from speecht_tpu.train.metrics_writer import SummaryWriter
+
+        rng = np.random.RandomState(0)
+        w = SummaryWriter(str(tmp_path))
+        values = rng.randn(500)
+        w.add_histograms(5, {"weights": values})
+        img = rng.rand(12, 34)
+        w.add_images(5, {"logits": img})
+        w.close()
+
+        import tensorflow as tf
+        from tensorflow.core.util import event_pb2
+
+        events = []
+        for raw in tf.data.TFRecordDataset(w.path):
+            e = event_pb2.Event()
+            e.ParseFromString(raw.numpy())
+            events.append(e)
+        histo = next(
+            v.histo
+            for e in events
+            for v in e.summary.value
+            if v.tag == "weights"
+        )
+        assert histo.num == 500
+        assert histo.min == pytest.approx(values.min())
+        assert histo.sum == pytest.approx(values.sum())
+        image = next(
+            v.image
+            for e in events
+            for v in e.summary.value
+            if v.tag == "logits"
+        )
+        assert image.height == 12 and image.width == 34
+        decoded = tf.io.decode_png(image.encoded_image_string)
+        assert decoded.shape == (12, 34, 1)
+        # pixel values monotone in source values
+        flat_src = img.ravel()
+        flat_px = decoded.numpy().ravel()
+        assert flat_px[flat_src.argmax()] == 255
+        assert flat_px[flat_src.argmin()] == 0
+
 
 class TestPipeline:
     def test_build_batch_bucketing(self):
