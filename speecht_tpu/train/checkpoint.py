@@ -32,6 +32,8 @@ class CheckpointManager:
 
     def save(self, state: TrainState, wait: bool = False):
         step = int(state.step)
+        if self._mgr.latest_step() == step:
+            return  # already persisted at this step
         self._mgr.save(
             step, args=ocp.args.StandardSave(jax.device_get(state))
         )

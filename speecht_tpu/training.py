@@ -68,19 +68,39 @@ class Training(DatasetExecutor):
             os.path.join(flags.log_dir, f"{flags.run_name}_{flags.run_type}")
         )
 
-        step_time, loss = 0.0, 0.0
-        previous_losses: list[float] = []
-        spc = flags.steps_per_checkpoint
-
         # optional jax.profiler trace capture over a step interval
         # (--profile-steps start:stop; SURVEY.md §5 tracing subsystem)
         profile_range = None
         if getattr(flags, "profile_steps", None):
             lo, _, hi = flags.profile_steps.partition(":")
             profile_range = (int(lo), int(hi or int(lo) + 5))
-        profiling = False
 
         print("Begin training")
+        self._latest_state = state
+        try:
+            state = self._train_loop(
+                state, train_step, writer, ckpt, profile_range
+            )
+        except KeyboardInterrupt:
+            # crash-safe: persist progress before exiting (the reference's
+            # recovery story is "rerun train, resume from latest checkpoint"
+            # — SURVEY.md §5; an interrupt here loses nothing)
+            print("\nInterrupted -- saving checkpoint before exit")
+            state = self._latest_state
+        finally:
+            ckpt.save(self._latest_state, wait=True)
+            ckpt.close()
+            writer.close()
+        print("Done training -- step limit reached")
+        return state
+
+    def _train_loop(self, state, train_step, writer, ckpt, profile_range):
+        flags = self.flags
+        step_time, loss = 0.0, 0.0
+        previous_losses: list[float] = []
+        spc = flags.steps_per_checkpoint
+        profiling = False
+
         with pmesh.use_mesh(self.mesh):
             loader = self.create_loader()
             for batch in loader:
@@ -94,6 +114,7 @@ class Training(DatasetExecutor):
 
                 start_time = time.time()
                 state, metrics = train_step(state, batch)
+                self._latest_state = state
                 avg_loss = float(metrics["loss"])
                 step_time += (time.time() - start_time) / spc
                 loss += avg_loss / spc
@@ -162,8 +183,4 @@ class Training(DatasetExecutor):
                     print("Model saved", flush=True)
                     step_time, loss = 0.0, 0.0
 
-        print("Done training -- step limit reached")
-        ckpt.save(state, wait=True)
-        ckpt.close()
-        writer.close()
         return state
