@@ -115,7 +115,7 @@ def _forward_kernel(
         alpha_out_ref[kt] = alpha_scratch[:, :]
         return 0
 
-    jax.lax.fori_loop(0, K, step, 0, unroll=1)
+    jax.lax.fori_loop(0, K, step, 0, unroll=K)
 
     @pl.when(blk == n_blk - 1)
     def _():
@@ -193,7 +193,7 @@ def _backward_kernel(
         post_ref[kt] = jnp.where(valid, post, 0.0) * g_ref[:, :]
         return 0
 
-    jax.lax.fori_loop(0, K, step, 0, unroll=1)
+    jax.lax.fori_loop(0, K, step, 0, unroll=K)
 
 
 def _prepare_operands(logits, logit_lengths, labels, label_lengths):
