@@ -136,6 +136,11 @@ class CLI:
         )
         p.add_argument("--step-count", dest="step_count", type=int, default=0)
         p.add_argument(
+            "--from-audio", dest="from_audio", action="store_true",
+            help="Skip the feature cache: decode flacs and run the whole "
+            "front end (framing/FFT/mel/normalize) on device.",
+        )
+        p.add_argument(
             "--reference-weights", dest="reference_weights", type=str,
             default=None,
             help="Evaluate weights exported by the reference implementation "

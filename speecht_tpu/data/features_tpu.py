@@ -62,7 +62,9 @@ def _frame_batch(
         + jnp.arange(n_fft, dtype=jnp.int32)[None, :]
         - pad
     )
-    n = num_samples.astype(jnp.int32)[:, None, None]  # [B, 1, 1]
+    # clamp so all-padding rows (num_samples 0) keep the index math valid;
+    # their frames are masked out downstream
+    n = jnp.maximum(num_samples.astype(jnp.int32), 2)[:, None, None]
     period = 2 * n - 2
     qm = jnp.mod(q[None, :, :], period)  # non-negative fold
     r = jnp.minimum(qm, period - qm)  # [B, T, n_fft]

@@ -50,8 +50,49 @@ class Batch:
         return self.features.shape[0]
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class AudioBatch:
+    """Raw-audio batch for the on-device feature pipeline; a jax pytree."""
+
+    audio: np.ndarray  # [B, Smax] float32 zero-padded samples
+    num_samples: np.ndarray  # [B] int32
+    labels: np.ndarray  # [B, L] int32 padded with PAD_ID
+    label_lengths: np.ndarray  # [B] int32
+
+
 def round_up(n: int, multiple: int) -> int:
     return -(-n // multiple) * multiple if multiple > 1 else n
+
+
+def build_audio_batch(
+    samples: list[tuple[np.ndarray, np.ndarray]],
+    sample_bucket: int = 160 * 256,
+    label_bucket: int = 32,
+    pad_to_batch: int = 0,
+) -> AudioBatch:
+    """Assemble (raw_audio, transcript) pairs into a padded AudioBatch.
+
+    Sample counts pad up to ``sample_bucket`` (defaults to the feature hop
+    x the feature-frame bucket, keeping jit shapes aligned with the cached
+    pipeline's time buckets).
+    """
+    n = len(samples)
+    num_samples = np.array([len(s[0]) for s in samples], dtype=np.int32)
+    label_lengths = np.array([len(s[1]) for s in samples], dtype=np.int32)
+    S = round_up(int(num_samples.max()), sample_bucket)
+    L = round_up(max(int(label_lengths.max()), 1), label_bucket)
+    B = max(n, pad_to_batch)
+
+    audio = np.zeros((B, S), dtype=np.float32)
+    labels = np.full((B, L), vocabulary.PAD_ID, dtype=np.int32)
+    for i, (wav, transcript) in enumerate(samples):
+        audio[i, : len(wav)] = wav
+        labels[i, : len(transcript)] = np.asarray(transcript, dtype=np.int32)
+    if B > n:
+        num_samples = np.pad(num_samples, (0, B - n))
+        label_lengths = np.pad(label_lengths, (0, B - n))
+    return AudioBatch(audio, num_samples, labels, label_lengths)
 
 
 def build_batch(
@@ -102,20 +143,26 @@ def batch_iterator(
     label_bucket: int = 32,
     max_steps: int | None = None,
     drop_remainder: bool = False,
+    batch_builder: Callable = None,
 ) -> Iterator[Batch]:
-    """Group a sample generator into padded Batches."""
+    """Group a sample generator into padded batches.
+
+    ``batch_builder`` defaults to :func:`build_batch` (cached features);
+    pass :func:`build_audio_batch` for raw-audio pipelines.
+    """
+    builder = batch_builder or build_batch
     steps = 0
     bucket: list = []
     for sample in sample_generator:
         bucket.append(sample)
         if len(bucket) == batch_size:
-            yield build_batch(bucket, time_bucket, label_bucket)
+            yield builder(bucket, time_bucket, label_bucket)
             bucket = []
             steps += 1
             if max_steps is not None and steps >= max_steps:
                 return
     if bucket and not drop_remainder:
-        yield build_batch(
+        yield builder(
             bucket, time_bucket, label_bucket, pad_to_batch=batch_size
         )
 
@@ -140,12 +187,14 @@ class PrefetchLoader:
         max_steps: int | None = None,
         queue_capacity: int = 8,
         device_put: bool = True,
+        batch_builder: Callable = None,
     ):
         self._factory = generator_factory
         self._batch_size = batch_size
         self._time_bucket = time_bucket
         self._label_bucket = label_bucket
         self._max_steps = max_steps
+        self._batch_builder = batch_builder
         self._queue: queue.Queue = queue.Queue(maxsize=queue_capacity)
         self._device_put = device_put
         self._thread: threading.Thread | None = None
@@ -160,6 +209,7 @@ class PrefetchLoader:
                 self._time_bucket,
                 self._label_bucket,
                 self._max_steps,
+                batch_builder=self._batch_builder,
             ):
                 if self._stop.is_set():
                     return

@@ -175,6 +175,43 @@ class SpeechCorpusReader:
             )
         return len(tasks)
 
+    def load_raw_samples(
+        self,
+        directory: str,
+        loop_infinitely: bool = False,
+        limit_count: int = 0,
+        seed: int | None = None,
+        sample_rate: int = 22050,
+    ):
+        """Yield (raw_audio float32 @ sample_rate, transcript) from flacs.
+
+        The raw-audio twin of :meth:`load_samples`, feeding the on-device
+        feature pipeline (features_tpu) instead of the offline npz cache.
+        """
+        from speecht_tpu import native
+
+        files = sorted(
+            iglob_recursive(
+                os.path.join(self._data_directory, directory), "*.flac"
+            )
+        )
+        rng = random.Random(seed)
+        rng.shuffle(files)
+        if limit_count:
+            files = files[:limit_count]
+        transcript_dict = self._transcript_dict
+
+        while True:
+            for audio_file in files:
+                audio_id = os.path.splitext(os.path.basename(audio_file))[0]
+                audio, _sr = native.load_audio(audio_file, sr=sample_rate)
+                yield audio, np.asarray(
+                    transcript_dict[audio_id], dtype=np.int32
+                )
+            if not loop_infinitely:
+                break
+            rng.shuffle(files)
+
     def load_samples(
         self,
         directory: str,

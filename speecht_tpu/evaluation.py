@@ -33,12 +33,47 @@ class Evaluation(DatasetExecutor):
     def dataset_name(self) -> str:
         return self.flags.dataset
 
+    @property
+    def from_audio(self) -> bool:
+        return bool(getattr(self.flags, "from_audio", False))
+
+    def determine_input_size(self) -> int:
+        if self.from_audio:
+            from speecht_tpu.data.features import feature_size
+
+            return feature_size(self.flags.feature_type)
+        return super().determine_input_size()
+
     def create_sample_generator(self, limit_count: int):
+        if self.from_audio:
+            return self.reader.load_raw_samples(
+                self.flags.dataset,
+                loop_infinitely=False,
+                limit_count=limit_count,
+            )
         return self.reader.load_samples(
             self.flags.dataset,
             loop_infinitely=False,
             limit_count=limit_count,
             feature_type=self.flags.feature_type,
+        )
+
+    def create_loader(self):
+        if not self.from_audio:
+            return super().create_loader()
+        from speecht_tpu.data.pipeline import (
+            PrefetchLoader,
+            build_audio_batch,
+        )
+
+        return PrefetchLoader(
+            lambda: self.create_sample_generator(
+                self.get_loader_limit_count()
+            ),
+            batch_size=self.flags.batch_size,
+            time_bucket=160 * getattr(self.flags, "bucket_step", 256),
+            max_steps=self.get_max_steps(),
+            batch_builder=build_audio_batch,
         )
 
     def get_loader_limit_count(self) -> int:
@@ -55,7 +90,52 @@ class Evaluation(DatasetExecutor):
 
             beam = BeamSearchDecoder(self.model, lm_flags)
             return beam.eval_step
+        if self.from_audio:
+            return self._make_audio_eval_step()
         return tstep.make_eval_step(self.model)
+
+    def _make_audio_eval_step(self):
+        """Fully on-device evaluate: raw audio -> features -> logits -> decode.
+
+        The whole front end (framing, rFFT, mel projection, normalization —
+        features_tpu) fuses into the same XLA program as the conv stack and
+        greedy decode; the host only ships padded raw audio.
+        """
+        import jax
+
+        from speecht_tpu.data import features_tpu as FT
+        from speecht_tpu.models.wav2letter import output_length
+        from speecht_tpu.ops import ctc_pallas, decode
+
+        feature_fn = (
+            FT.batch_power_spectrogram
+            if self.flags.feature_type == "power"
+            else FT.batch_mfccs
+        )
+        model = self.model
+
+        @jax.jit
+        def eval_step(params, batch):
+            feats, frame_lengths = feature_fn(batch.audio, batch.num_samples)
+            logits = model.apply({"params": params}, feats)
+            logit_lengths = output_length(frame_lengths)
+            import jax.numpy as jnp
+
+            losses = ctc_pallas.ctc_loss(
+                logits, logit_lengths, batch.labels, batch.label_lengths
+            )
+            real = (batch.num_samples > 0).astype(jnp.float32)
+            avg_loss = jnp.sum(losses * real) / jnp.maximum(
+                jnp.sum(real), 1.0
+            )
+            decoded, dec_lengths, _ = decode.greedy_decode(
+                logits, logit_lengths
+            )
+            # blank out padded rows so tracking skips them
+            dec_lengths = jnp.where(batch.num_samples > 0, dec_lengths, 0)
+            return avg_loss, decoded, dec_lengths
+
+        return eval_step
 
     def run(self) -> EvalStatistics:
         flags = self.flags
@@ -123,7 +203,12 @@ class Evaluation(DatasetExecutor):
         dec_lengths = np.asarray(dec_lengths)
         labels = np.asarray(batch.labels)
         label_lengths = np.asarray(batch.label_lengths)
-        seq_lengths = np.asarray(batch.seq_lengths)
+        # Batch carries seq_lengths (feature frames); AudioBatch num_samples
+        seq_lengths = np.asarray(
+            getattr(batch, "seq_lengths", None)
+            if hasattr(batch, "seq_lengths")
+            else batch.num_samples
+        )
 
         for i in range(decoded.shape[0]):
             if seq_lengths[i] == 0:  # padded row of a partial batch

@@ -31,6 +31,28 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
         pass  # older jax without these flags
 
 
+def init_distributed() -> bool:
+    """Initialize multi-host JAX when running under a multi-process launcher.
+
+    Single-slice TPU pods need no explicit setup (XLA discovers the slice);
+    multi-slice / multi-host CPU+GPU runs use the standard coordinator env
+    (JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES, JAX_PROCESS_ID). Returns
+    True when distributed mode was initialized. Collectives then ride ICI
+    within a slice and DCN across slices automatically (SURVEY.md §2c).
+    """
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return False
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+        process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
+    )
+    return True
+
+
 def honor_platform_env() -> None:
     want = os.environ.get("JAX_PLATFORMS")
     if not want:

@@ -162,6 +162,27 @@ def test_parameter_search(workdir, capsys):
     assert "Candidate" in out
 
 
+def test_evaluate_from_audio_matches_cached(workdir, capsys):
+    # on-device front end must produce the same decode as the cached path
+    stats_cached = run_cli(
+        workdir, "evaluate", "--test", "--step-count", "1", "--no-save"
+    )
+    cached_out = capsys.readouterr().out
+    stats_audio = run_cli(
+        workdir, "evaluate", "--test", "--step-count", "1", "--no-save",
+        "--from-audio",
+    )
+    audio_out = capsys.readouterr().out
+    assert stats_audio.decodings_counter == 1
+
+    def decoded_line(out):
+        return next(
+            line for line in out.splitlines() if line.startswith("decoded:")
+        )
+
+    assert decoded_line(audio_out) == decoded_line(cached_out)
+
+
 def test_export(workdir):
     written = run_cli(
         workdir,
