@@ -238,16 +238,26 @@ class SpeechCorpusReader:
         if limit_count:
             files = files[:limit_count]
 
+        def load_one(file):
+            # the native reader is ~3x numpy.load and GIL-releasing
+            # (speecht_tpu/native/npz_reader.cpp); numpy is the fallback
+            # for caches with unexpected layouts
+            try:
+                from speecht_tpu import native
+
+                return native.npz_load_sample(file)
+            except Exception:
+                with np.load(file) as data:
+                    return data["audio_fragments"], data["transcript"]
+
         while True:
             for file in files:
-                with np.load(file) as data:
-                    audio_length = data["audio_fragments"].shape[0]
-                    if not max_size or audio_length <= max_size:
-                        yield data["audio_fragments"], data["transcript"]
-                    else:
-                        log.warning(
-                            "Audio snippet too long: %d", audio_length
-                        )
+                features, transcript = load_one(file)
+                audio_length = features.shape[0]
+                if not max_size or audio_length <= max_size:
+                    yield features, transcript
+                else:
+                    log.warning("Audio snippet too long: %d", audio_length)
             if not loop_infinitely:
                 break
             rng.shuffle(files)

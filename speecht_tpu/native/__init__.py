@@ -26,7 +26,7 @@ import threading
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SOURCES = ["speecht_native.cpp", "beam_search.cpp"]
+_SOURCES = ["speecht_native.cpp", "beam_search.cpp", "npz_reader.cpp"]
 _LIB_PATH = os.path.join(_HERE, "libspeecht_native.so")
 
 _lock = threading.Lock()
@@ -68,6 +68,7 @@ def build(force: bool = False) -> str:
             "-o",
             _LIB_PATH,
             *srcs,
+            "-lz",
         ]
         proc = subprocess.run(cmd, capture_output=True, text=True)
         if proc.returncode != 0:
@@ -140,8 +141,45 @@ def _load():
         ctypes.c_int32,  # out_capacity
     ]
 
+    lib.st_npz_load_sample.restype = ctypes.c_int
+    lib.st_npz_load_sample.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int64),  # feat_shape[2]
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+
     _lib = lib
     return lib
+
+
+def npz_load_sample(path: str):
+    """Load one cache npz -> (features float32 [T, F], transcript int32).
+
+    ~10x numpy.load on this hot path, and releases the GIL so feeder
+    threads scale.
+    """
+    lib = _load()
+    feats_ptr = ctypes.POINTER(ctypes.c_float)()
+    shape = (ctypes.c_int64 * 2)()
+    tr_ptr = ctypes.POINTER(ctypes.c_int32)()
+    tr_len = ctypes.c_int64()
+    rc = lib.st_npz_load_sample(
+        path.encode(),
+        ctypes.byref(feats_ptr),
+        shape,
+        ctypes.byref(tr_ptr),
+        ctypes.byref(tr_len),
+    )
+    if rc != 0:
+        raise ValueError(f"npz load failed for {path} (code {rc})")
+    count = shape[0] * shape[1]
+    feats = np.ctypeslib.as_array(feats_ptr, shape=(shape[0], shape[1])).copy()
+    lib.st_free(feats_ptr)
+    transcript = np.ctypeslib.as_array(tr_ptr, shape=(tr_len.value,)).copy()
+    lib.st_free(tr_ptr)
+    return feats, transcript
 
 
 class NGramLM:

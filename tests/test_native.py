@@ -69,3 +69,38 @@ class TestFlacFixture:
         audio, sr = native.load_audio(FIXTURE)
         assert sr == 22050
         assert audio.shape == (114881,)
+
+
+class TestNpzReader:
+    def test_roundtrip_f32(self, tmp_path):
+        rng = np.random.RandomState(0)
+        feats = rng.randn(130, 39).astype(np.float32)
+        tr = rng.randint(0, 28, 17).astype(np.int64)
+        p = str(tmp_path / "u.npz")
+        np.savez(p, audio_fragments=feats, transcript=tr)
+        f2, t2 = native.npz_load_sample(p)
+        np.testing.assert_array_equal(f2, feats)
+        np.testing.assert_array_equal(t2, tr)
+        assert f2.dtype == np.float32 and t2.dtype == np.int32
+
+    def test_f64_cache_converted(self, tmp_path):
+        # reference-written caches hold float64 librosa output
+        feats = np.random.RandomState(1).randn(50, 128)
+        p = str(tmp_path / "u.npz")
+        np.savez(p, audio_fragments=feats, transcript=np.array([1, 2]))
+        f2, _ = native.npz_load_sample(p)
+        np.testing.assert_allclose(f2, feats.astype(np.float32))
+
+    def test_compressed_npz(self, tmp_path):
+        feats = np.random.RandomState(2).randn(64, 16).astype(np.float32)
+        p = str(tmp_path / "u.npz")
+        np.savez_compressed(p, audio_fragments=feats, transcript=np.array([3]))
+        f2, t2 = native.npz_load_sample(p)
+        np.testing.assert_array_equal(f2, feats)
+        assert t2.tolist() == [3]
+
+    def test_missing_entry_raises(self, tmp_path):
+        p = str(tmp_path / "u.npz")
+        np.savez(p, something_else=np.zeros(3))
+        with pytest.raises(ValueError):
+            native.npz_load_sample(p)
