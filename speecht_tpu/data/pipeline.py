@@ -130,10 +130,14 @@ def build_batch(
     return Batch(features, seq_lengths, labels, label_lengths)
 
 
-def single_batch(features: np.ndarray) -> Batch:
-    """Batch-of-one without labels (record/export path)."""
+def single_batch(features: np.ndarray, time_bucket: int = 128) -> Batch:
+    """Batch-of-one without labels (record/export path).
+
+    Time still rounds up to a bucket so consecutive recordings reuse
+    compiled programs instead of recompiling per utterance length.
+    """
     return build_batch([(features, np.zeros(0, dtype=np.int32))],
-                       time_bucket=1, label_bucket=1)
+                       time_bucket=time_bucket, label_bucket=1)
 
 
 def batch_iterator(
