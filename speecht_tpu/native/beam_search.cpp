@@ -43,8 +43,10 @@ constexpr double kLog10 = 2.302585092994046;  // ln(10)
 inline double log_add(double a, double b) {
   if (a <= kNegInf) return b;
   if (b <= kNegInf) return a;
-  double m = a > b ? a : b;
-  return m + std::log(std::exp(a - m) + std::exp(b - m));
+  double m, d;
+  if (a > b) { m = a; d = b - a; } else { m = b; d = a - b; }
+  if (d < -36.0) return m;  // below double epsilon of log1p
+  return m + std::log1p(std::exp(d));
 }
 
 inline char id_to_char(int id) {
@@ -256,35 +258,98 @@ LanguageModel* load_arpa(const char* arpa_path, const char* vocab_path) {
 // CTC prefix beam search
 // ---------------------------------------------------------------------------
 
-struct Prefix {
-  std::vector<int8_t> chars;     // decoded char ids
-  double p_b = kNegInf;          // log prob ending in blank
-  double p_nb = kNegInf;         // log prob ending in non-blank
-  double lm_score = 0.0;         // accumulated weighted LM/word bonuses
-  std::vector<uint32_t> words;   // completed word ids (LM space)
-  int n_words = 0;
-  int n_valid = 0;
+// Prefix-tree arena: each decoded prefix is a node (parent, char); LM
+// shallow-fusion state is computed once at node creation, and per-frame
+// beam bookkeeping only touches integer node ids + two log-probs.
 
-  double total() const { return log_add(p_b, p_nb) + lm_score; }
+struct Node {
+  int32_t parent;      // -1 for root
+  int8_t ch;           // char id appended by this node
+  int32_t depth;       // prefix length
+  // shallow-fusion state (function of the prefix string alone)
+  float lm_score;      // accumulated weighted bonuses (ln scale)
+  uint32_t hist[2];    // last up-to-2 completed word ids (order <= 3)
+  int8_t hist_len;
+  // intrusive child list (hash-free lookups; fanout is <= 28)
+  int32_t first_child = -1;
+  int32_t next_sibling = -1;
+  // per-frame candidate slot (stamped so no clearing between frames)
+  int64_t slot_stamp = -1;
+  int32_t slot_idx = -1;
 };
 
-struct PrefixHash {
-  size_t operator()(const std::vector<int8_t>& v) const {
-    size_t h = 1469598103934665603ull;
-    for (int8_t c : v) { h ^= (uint8_t)c; h *= 1099511628211ull; }
-    return h;
+struct Arena {
+  std::vector<Node> nodes;
+
+  Arena() {
+    nodes.reserve(1 << 14);
+    nodes.push_back(Node{-1, -1, 0, 0.0f, {0, 0}, 0});
+  }
+
+  // read the trailing partial word of prefix `id` (walking up, bounded by
+  // word length); returns characters in order
+  std::string partial_word(int32_t id) const {
+    std::string w;
+    while (id > 0) {
+      const Node& n = nodes[id];
+      if (n.ch == kSpaceId) break;
+      w.push_back(id_to_char(n.ch));
+      id = n.parent;
+    }
+    std::reverse(w.begin(), w.end());
+    return w;
+  }
+
+  int32_t child(int32_t parent, int8_t ch, const LanguageModel* lm,
+                float lm_weight, float word_count_weight,
+                float valid_word_count_weight) {
+    for (int32_t c = nodes[parent].first_child; c >= 0;
+         c = nodes[c].next_sibling) {
+      if (nodes[c].ch == ch) return c;
+    }
+
+    const Node& p = nodes[parent];
+    Node n{parent, ch, p.depth + 1, p.lm_score,
+           {p.hist[0], p.hist[1]}, p.hist_len};
+    if (ch == kSpaceId) {
+      std::string w = partial_word(parent);
+      if (!w.empty()) {
+        n.lm_score += word_count_weight;
+        if (lm && lm->trie_has_word(w))
+          n.lm_score += valid_word_count_weight;
+        if (lm && lm->order > 0) {
+          std::vector<uint32_t> hist;
+          if (lm->bos_id != UINT32_MAX) hist.push_back(lm->bos_id);
+          for (int i = 0; i < n.hist_len; ++i) hist.push_back(n.hist[i]);
+          uint32_t wid = lm->word_id(w);
+          n.lm_score +=
+              lm_weight * lm->score(hist.data(), (int)hist.size(), wid) *
+              (float)kLog10;
+          if (n.hist_len < 2) {
+            n.hist[n.hist_len++] = wid;
+          } else {
+            n.hist[0] = n.hist[1];
+            n.hist[1] = wid;
+          }
+        }
+      }
+    }
+    int32_t id = (int32_t)nodes.size();
+    n.next_sibling = nodes[parent].first_child;
+    nodes.push_back(n);
+    nodes[parent].first_child = id;
+    return id;
   }
 };
 
-std::string last_partial_word(const std::vector<int8_t>& chars) {
-  std::string w;
-  for (auto it = chars.rbegin(); it != chars.rend(); ++it) {
-    if (*it == kSpaceId) break;
-    w.push_back(id_to_char(*it));
+struct Cand {
+  int32_t node;
+  double p_b;
+  double p_nb;
+  double total(const Arena& a) const {
+    return log_add(p_b, p_nb) + a.nodes[node].lm_score;
   }
-  std::reverse(w.begin(), w.end());
-  return w;
-}
+};
 
 }  // namespace
 
@@ -325,12 +390,29 @@ int st_ctc_beam_search(
     float word_count_weight, float valid_word_count_weight,
     int32_t prune_top_k, int32_t* out_ids, int32_t out_capacity) {
   auto* lm = (LanguageModel*)lm_ptr;
+  Arena arena;
 
-  std::vector<Prefix> beam(1);
-  beam[0].p_b = 0.0;  // empty prefix, log prob 1
+  std::vector<Cand> beam;
+  beam.push_back(Cand{0, 0.0, kNegInf});  // root prefix, log prob 1
 
   std::vector<int> cand_chars;
   cand_chars.reserve(C);
+  std::vector<int> idx(C);
+
+  // per-frame candidate accumulation; node slots are stamped with the
+  // frame index, so neither clearing nor hashing is needed
+  std::vector<Cand> next;
+  next.reserve(4096);
+  int64_t stamp = 0;
+
+  auto get_slot = [&](int32_t node) -> Cand& {
+    Node& n = arena.nodes[node];
+    if (n.slot_stamp == stamp) return next[n.slot_idx];
+    n.slot_stamp = stamp;
+    n.slot_idx = (int32_t)next.size();
+    next.push_back(Cand{node, kNegInf, kNegInf});
+    return next.back();
+  };
 
   for (int64_t t = 0; t < T; ++t) {
     const float* lp = log_probs + t * C;
@@ -338,7 +420,6 @@ int st_ctc_beam_search(
     // top-k emission pruning per frame
     cand_chars.clear();
     if (prune_top_k > 0 && prune_top_k < C) {
-      std::vector<int> idx(C);
       for (int c = 0; c < C; ++c) idx[c] = c;
       std::partial_sort(
           idx.begin(), idx.begin() + prune_top_k, idx.end(),
@@ -352,130 +433,86 @@ int st_ctc_beam_search(
       for (int c = 0; c < C; ++c) cand_chars.push_back(c);
     }
 
-    std::unordered_map<std::vector<int8_t>, Prefix, PrefixHash> next;
-    next.reserve(beam.size() * cand_chars.size());
+    stamp = t + 1;
+    next.clear();
 
-    for (const Prefix& p : beam) {
+    for (const Cand& p : beam) {
       double p_tot = log_add(p.p_b, p.p_nb);
-      int last = p.chars.empty() ? -1 : p.chars.back();
+      int last = arena.nodes[p.node].ch;  // -1 at root
 
       for (int c : cand_chars) {
         double emit = lp[c];
         if (c == blank_id) {
-          Prefix& q = next.try_emplace(p.chars).first->second;
-          if (q.chars.empty() && !p.chars.empty()) q.chars = p.chars;
+          Cand& q = get_slot(p.node);
           q.p_b = log_add(q.p_b, p_tot + emit);
-          q.lm_score = p.lm_score;
-          q.words = p.words;
-          q.n_words = p.n_words;
-          q.n_valid = p.n_valid;
           continue;
         }
         if (c == last) {
-          // repeat: extends the non-blank path of the SAME prefix...
-          Prefix& q = next.try_emplace(p.chars).first->second;
-          if (q.chars.empty() && !p.chars.empty()) q.chars = p.chars;
+          // repeat extends the non-blank path of the SAME prefix...
+          Cand& q = get_slot(p.node);
           q.p_nb = log_add(q.p_nb, p.p_nb + emit);
-          q.lm_score = p.lm_score;
-          q.words = p.words;
-          q.n_words = p.n_words;
-          q.n_valid = p.n_valid;
-          // ...and creates a NEW prefix from the blank path
-          std::vector<int8_t> ext = p.chars;
-          ext.push_back((int8_t)c);
-          Prefix& r = next.try_emplace(ext).first->second;
-          if (r.chars.empty()) r.chars = std::move(ext);
-          double mass = p.p_b + emit;
-          if (r.p_nb <= kNegInf) {
-            r.lm_score = p.lm_score;
-            r.words = p.words;
-            r.n_words = p.n_words;
-            r.n_valid = p.n_valid;
-          }
-          r.p_nb = log_add(r.p_nb, mass);
+          // ...and the blank path starts a NEW prefix
+          int32_t child = arena.child(
+              p.node, (int8_t)c, lm, lm_weight, word_count_weight,
+              valid_word_count_weight);
+          Cand& r = get_slot(child);
+          r.p_nb = log_add(r.p_nb, p.p_b + emit);
           continue;
         }
         // new character extends the prefix
-        std::vector<int8_t> ext = p.chars;
-        ext.push_back((int8_t)c);
-        Prefix& r = next.try_emplace(ext).first->second;
-        bool fresh = r.p_b <= kNegInf && r.p_nb <= kNegInf;
-        if (fresh) {
-          r.chars = std::move(ext);
-          r.lm_score = p.lm_score;
-          r.words = p.words;
-          r.n_words = p.n_words;
-          r.n_valid = p.n_valid;
-          if (c == kSpaceId) {
-            // word boundary: apply shallow fusion for the completed word
-            std::string w = last_partial_word(p.chars);
-            if (!w.empty()) {
-              r.n_words += 1;
-              r.lm_score += word_count_weight;
-              bool valid = lm && lm->trie_has_word(w);
-              if (valid) {
-                r.n_valid += 1;
-                r.lm_score += valid_word_count_weight;
-              }
-              if (lm && lm->order > 0) {
-                std::vector<uint32_t> hist;
-                if (lm->bos_id != UINT32_MAX) hist.push_back(lm->bos_id);
-                hist.insert(hist.end(), p.words.begin(), p.words.end());
-                uint32_t wid = lm->word_id(w);
-                float s = lm->score(hist.data(), (int)hist.size(), wid);
-                r.lm_score += lm_weight * s * kLog10;  // log10 -> ln scale
-                r.words.push_back(wid);
-                int keep = std::max(0, lm->order - 1);
-                if ((int)r.words.size() > keep)
-                  r.words.erase(r.words.begin(),
-                                r.words.end() - keep);
-              }
-            }
-          }
-        }
-        double mass = (c == last ? p.p_b : p_tot) + emit;
-        r.p_nb = log_add(r.p_nb, mass);
+        int32_t child = arena.child(
+            p.node, (int8_t)c, lm, lm_weight, word_count_weight,
+            valid_word_count_weight);
+        Cand& r = get_slot(child);
+        r.p_nb = log_add(r.p_nb, p_tot + emit);
       }
     }
 
     // prune to beam_width by total score
-    beam.clear();
-    beam.reserve(next.size());
-    for (auto& kv : next) beam.push_back(std::move(kv.second));
-    if ((int)beam.size() > beam_width) {
+    if ((int)next.size() > beam_width) {
       std::partial_sort(
-          beam.begin(), beam.begin() + beam_width, beam.end(),
-          [](const Prefix& a, const Prefix& b) { return a.total() > b.total(); });
-      beam.resize(beam_width);
+          next.begin(), next.begin() + beam_width, next.end(),
+          [&](const Cand& a, const Cand& b) {
+            return a.total(arena) > b.total(arena);
+          });
+      next.resize(beam_width);
     }
+    beam.assign(next.begin(), next.end());
   }
 
-  // final: score the trailing partial word too (sentence end)
-  const Prefix* best = nullptr;
+  // final: also score the trailing partial word (sentence end)
+  const Cand* best = nullptr;
   double best_score = -1e300;
-  std::vector<double> finals(beam.size());
-  for (size_t i = 0; i < beam.size(); ++i) {
-    const Prefix& p = beam[i];
-    double s = p.total();
-    std::string w = last_partial_word(p.chars);
+  for (const Cand& p : beam) {
+    double s = p.total(arena);
+    std::string w = arena.partial_word(p.node);
     if (!w.empty()) {
       s += word_count_weight;
       if (lm && lm->trie_has_word(w)) s += valid_word_count_weight;
       if (lm && lm->order > 0) {
+        const Node& n = arena.nodes[p.node];
         std::vector<uint32_t> hist;
         if (lm->bos_id != UINT32_MAX) hist.push_back(lm->bos_id);
-        hist.insert(hist.end(), p.words.begin(), p.words.end());
-        s += lm_weight * lm->score(hist.data(), (int)hist.size(),
-                                   lm->word_id(w)) * kLog10;
+        for (int i = 0; i < n.hist_len; ++i) hist.push_back(n.hist[i]);
+        s += lm_weight *
+             lm->score(hist.data(), (int)hist.size(), lm->word_id(w)) *
+             kLog10;
       }
     }
     if (s > best_score) { best_score = s; best = &p; }
   }
 
   if (!best) return 0;
-  int n = std::min<int>((int)best->chars.size(), out_capacity);
-  for (int i = 0; i < n; ++i) out_ids[i] = best->chars[i];
-  return n;
+  // walk up the prefix tree to emit the character sequence
+  const Node* n = &arena.nodes[best->node];
+  int len = n->depth;
+  int out_len = std::min(len, out_capacity);
+  int32_t id = best->node;
+  for (int i = len - 1; i >= 0; --i) {
+    if (i < out_capacity) out_ids[i] = arena.nodes[id].ch;
+    id = arena.nodes[id].parent;
+  }
+  return out_len;
 }
 
 }  // extern "C"
