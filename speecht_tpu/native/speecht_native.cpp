@@ -25,6 +25,7 @@
 #include <vector>
 #include <algorithm>
 #include <memory>
+#include <mutex>
 
 extern "C" {
 
@@ -409,6 +410,46 @@ struct SincFilter {
   }
 };
 
+// Polyphase bank for rational ratios L/M: per-phase contiguous tap vectors
+// (one dot product per output sample, auto-vectorizable) instead of per-tap
+// interpolated table lookups. ~10x the direct evaluation.
+struct Polyphase {
+  int64_t L = 0, M = 0;
+  int ntaps = 0;
+  int start_off = 0;  // m0 = (j*M)/L + start_off
+  std::vector<float> weights;  // [L, ntaps]
+
+  static int64_t gcd(int64_t a, int64_t b) {
+    while (b) { int64_t t = a % b; a = b; b = t; }
+    return a;
+  }
+
+  bool build(double sr_in, double sr_out, const SincFilter& filt) {
+    int64_t i_in = (int64_t)sr_in, i_out = (int64_t)sr_out;
+    if ((double)i_in != sr_in || (double)i_out != sr_out) return false;
+    int64_t g = gcd(i_in, i_out);
+    L = i_out / g;
+    M = i_in / g;
+    if (L > 4096) return false;  // irrational-ish; use the direct path
+    double ratio = sr_out / sr_in;
+    double scale = std::min(1.0, ratio);
+    double support = filt.num_zeros / scale;
+    start_off = -(int)std::floor(support);
+    ntaps = (int)std::floor(support) - start_off + 1;
+    weights.resize((size_t)L * ntaps);
+    for (int64_t r = 0; r < L; ++r) {
+      // output j with j*M = n0*L + r sits at input position n0 + r/L
+      double frac = (double)r / L;
+      for (int k = 0; k < ntaps; ++k) {
+        double t = start_off + k - frac;
+        weights[(size_t)r * ntaps + k] =
+            (float)(scale * filt.eval(scale * t));
+      }
+    }
+    return true;
+  }
+};
+
 }  // namespace
 
 // Resample float32 audio from sr_in to sr_out. Output length is
@@ -432,6 +473,47 @@ int st_resample(const float* in, int64_t n_in, double sr_in, double sr_out,
   int64_t count = (int64_t)std::ceil((double)n_in * ratio);
   float* r = (float*)malloc((size_t)count * sizeof(float));
   if (!r) return -2;
+
+  // fast path: rational ratio -> cached polyphase bank
+  {
+    static std::vector<std::pair<std::pair<double, double>, Polyphase*>> cache;
+    static std::mutex cache_mu;
+    Polyphase* pp = nullptr;
+    {
+      std::lock_guard<std::mutex> lock(cache_mu);
+      for (auto& kv : cache)
+        if (kv.first.first == sr_in && kv.first.second == sr_out)
+          pp = kv.second;
+      if (!pp) {
+        auto* fresh = new Polyphase();
+        if (fresh->build(sr_in, sr_out, filt)) {
+          cache.emplace_back(std::make_pair(sr_in, sr_out), fresh);
+          pp = fresh;
+        } else {
+          delete fresh;
+        }
+      }
+    }
+    if (pp) {
+      const int ntaps = pp->ntaps;
+      for (int64_t j = 0; j < count; ++j) {
+        int64_t num = j * pp->M;
+        int64_t n0 = num / pp->L;
+        int64_t phase = num % pp->L;
+        const float* w = &pp->weights[(size_t)phase * ntaps];
+        int64_t m0 = n0 + pp->start_off;
+        int k_lo = m0 < 0 ? (int)(-m0) : 0;
+        int k_hi = m0 + ntaps > n_in ? (int)(n_in - m0) : ntaps;
+        double acc = 0.0;
+        const float* x = in + m0;
+        for (int k = k_lo; k < k_hi; ++k) acc += (double)x[k] * w[k];
+        r[j] = (float)acc;
+      }
+      *out = r;
+      *n_out = count;
+      return 0;
+    }
+  }
 
   double support = filt.num_zeros / scale;
   for (int64_t j = 0; j < count; ++j) {
