@@ -102,6 +102,7 @@ class Evaluation(DatasetExecutor):
         greedy decode; the host only ships padded raw audio.
         """
         import jax
+        import jax.numpy as jnp
 
         from speecht_tpu.data import features_tpu as FT
         from speecht_tpu.models.wav2letter import output_length
@@ -119,8 +120,6 @@ class Evaluation(DatasetExecutor):
             feats, frame_lengths = feature_fn(batch.audio, batch.num_samples)
             logits = model.apply({"params": params}, feats)
             logit_lengths = output_length(frame_lengths)
-            import jax.numpy as jnp
-
             losses = ctc_pallas.ctc_loss(
                 logits, logit_lengths, batch.labels, batch.label_lengths
             )

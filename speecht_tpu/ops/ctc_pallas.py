@@ -27,7 +27,6 @@ Layout: time-indexed arrays are time-major [T, B, .] so time blocks are
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
