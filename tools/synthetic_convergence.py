@@ -80,6 +80,25 @@ def make_corpus(root: str, n_train: int, n_test: int, seed: int = 0):
     write_split("test", n_test, 100000)
 
 
+def write_lm(root: str) -> str:
+    """A unigram ARPA over the synthetic word list + vocabulary file."""
+    import math
+
+    lm_dir = os.path.join(root, "lm")
+    os.makedirs(lm_dir, exist_ok=True)
+    logp = -math.log10(len(WORDS) + 1)
+    lines = ["\\data\\", f"ngram 1={len(WORDS) + 1}", "", "\\1-grams:"]
+    lines.append(f"{logp:.4f}\t<unk>")
+    for w in WORDS:
+        lines.append(f"{logp:.4f}\t{w}")
+    lines += ["", "\\end\\", ""]
+    with open(os.path.join(lm_dir, "model.arpa"), "w") as f:
+        f.write("\n".join(lines))
+    with open(os.path.join(lm_dir, "vocabulary"), "w") as f:
+        f.write("\n".join(WORDS) + "\n")
+    return lm_dir
+
+
 def main(n_train: int = 400, steps: int = 600):
     from speecht_tpu.cli import CLI
 
@@ -108,12 +127,28 @@ def main(n_train: int = 400, steps: int = 600):
         ["evaluate", "--test", "--no-save"] + common
     ).run()
 
-    print(f"\nheld-out LER: {stats.global_letter_error_rate:.3f}")
-    print(f"held-out WER: {stats.global_word_error_rate:.3f}")
+    # LM shallow fusion should repair residual spelling errors
+    lm_dir = write_lm(root)
+    lm_stats = CLI(
+        [
+            "evaluate", "--test", "--no-save",
+            "--language-model", lm_dir,
+            "--lm-weight", "0.4",
+            "--valid-word-count-weight", "2.3",
+        ]
+        + common
+    ).run()
+
+    print(f"\nheld-out greedy  LER: {stats.global_letter_error_rate:.3f} "
+          f"WER: {stats.global_word_error_rate:.3f}")
+    print(f"held-out beam+LM LER: {lm_stats.global_letter_error_rate:.3f} "
+          f"WER: {lm_stats.global_word_error_rate:.3f}")
     ok = stats.global_letter_error_rate < 0.05
+    lm_ok = lm_stats.global_word_error_rate <= stats.global_word_error_rate
     print("SYNTHETIC CONVERGENCE:", "PASS" if ok else "FAIL")
+    print("LM FUSION IMPROVES/HOLDS WER:", "PASS" if lm_ok else "FAIL")
     shutil.rmtree(root, ignore_errors=True)
-    return 0 if ok else 1
+    return 0 if (ok and lm_ok) else 1
 
 
 if __name__ == "__main__":
