@@ -139,6 +139,7 @@ def _backward_kernel(
     beta_scratch,  # [Bt, S] carry: beta at t+1
     emit_scratch,  # [Bt, S] carry: emission at t+1
     emit_block,  # [K, Bt, S] VMEM scratch
+    beta_block,  # [K, Bt, S] VMEM scratch
 ):
     blk = pl.program_id(1)
     n_blk = pl.num_programs(1)
@@ -185,14 +186,21 @@ def _backward_kernel(
             )
 
         emit_scratch[:, :] = emit_block[kt]
-        # state posterior for frame t (normalized by total path prob)
-        gamma = alpha_ref[kt] + beta_scratch[:, :]
-        post = jnp.exp(gamma - logp_total_ref[:, :])
-        valid = t < len_ref[:, :]
-        post_ref[kt] = jnp.where(valid, post, 0.0) * g_ref[:, :]
+        beta_block[kt] = beta_scratch[:, :]
         return 0
 
     jax.lax.fori_loop(0, K, step, 0, unroll=K)
+
+    # posteriors for the whole block at once: one wide VPU pass over
+    # [K, Bt, S] instead of K per-step slices, one block write
+    fwd_blk = n_blk - 1 - blk
+    gamma = alpha_ref[:, :, :] + beta_block[:, :, :]
+    post = jnp.exp(gamma - logp_total_ref[:, :][None])
+    t_iota = fwd_blk * K + jax.lax.broadcasted_iota(
+        jnp.int32, (K, Bt, 1), 0
+    )
+    valid = t_iota < len_ref[:, :][None]
+    post_ref[:, :, :] = jnp.where(valid, post, 0.0) * g_ref[:, :][None]
 
 
 def _prepare_operands(logits, logit_lengths, labels, label_lengths):
@@ -392,6 +400,7 @@ def _bwd_rule(res, g):
         scratch_shapes=[
             pltpu.VMEM((BATCH_TILE, S_pad), jnp.float32),
             pltpu.VMEM((BATCH_TILE, S_pad), jnp.float32),
+            pltpu.VMEM((TIME_BLOCK, BATCH_TILE, S_pad), jnp.float32),
             pltpu.VMEM((TIME_BLOCK, BATCH_TILE, S_pad), jnp.float32),
         ],
     )(logp_tm, ext_oh, allow, final, lengths, logp_total, alpha_hist, g_pad)
