@@ -35,6 +35,18 @@ def perplexity(loss: float) -> float:
     return float(np.exp(loss)) if loss < 300 else float("inf")
 
 
+def should_decay_learning_rate(
+    previous_losses: list, current_loss: float, decay_factor: float
+) -> bool:
+    """Plateau rule: decay when no improvement over the last 3 checkpoints
+    (reference training.py:82-84)."""
+    return (
+        decay_factor > 0
+        and len(previous_losses) > 2
+        and current_loss > max(previous_losses[-3:])
+    )
+
+
 class Training(DatasetExecutor):
     def create_sample_generator(self, limit_count: int):
         return self.reader.load_samples(
@@ -168,11 +180,9 @@ class Training(DatasetExecutor):
                     )
                     writer.flush()
 
-                    # plateau decay (reference training.py:82-84)
-                    if (
-                        flags.learning_rate_decay_factor > 0
-                        and len(previous_losses) > 2
-                        and loss > max(previous_losses[-3:])
+                    if should_decay_learning_rate(
+                        previous_losses, loss,
+                        flags.learning_rate_decay_factor,
                     ):
                         state = tstep.decay_learning_rate(
                             state, flags.learning_rate_decay_factor
