@@ -68,6 +68,12 @@ class CLI:
             "--bucket-step", dest="bucket_step", type=int, default=256,
             help="Pad batch time length up to a multiple of this.",
         )
+        p.add_argument(
+            "--group-by-length", dest="group_by_length",
+            action="store_true",
+            help="Batch similar-length utterances together (less padding "
+            "waste than random batching).",
+        )
         p.set_defaults(feature_type="power")
         return p
 

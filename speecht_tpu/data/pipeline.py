@@ -148,27 +148,65 @@ def batch_iterator(
     max_steps: int | None = None,
     drop_remainder: bool = False,
     batch_builder: Callable = None,
+    group_by_length: bool = False,
 ) -> Iterator[Batch]:
     """Group a sample generator into padded batches.
 
     ``batch_builder`` defaults to :func:`build_batch` (cached features);
     pass :func:`build_audio_batch` for raw-audio pipelines.
+
+    ``group_by_length`` accumulates samples into per-length-bucket bins and
+    emits a batch when a bin fills: utterances of similar length batch
+    together, cutting the padding waste of random batching (the reference
+    pads each random batch to its max, speech_input.py:37-45). Shuffle
+    order still comes from the (already shuffled) generator; only grouping
+    changes.
     """
     builder = batch_builder or build_batch
     steps = 0
-    bucket: list = []
+
+    if not group_by_length:
+        bucket: list = []
+        for sample in sample_generator:
+            bucket.append(sample)
+            if len(bucket) == batch_size:
+                yield builder(bucket, time_bucket, label_bucket)
+                bucket = []
+                steps += 1
+                if max_steps is not None and steps >= max_steps:
+                    return
+        if bucket and not drop_remainder:
+            yield builder(
+                bucket, time_bucket, label_bucket, pad_to_batch=batch_size
+            )
+        return
+
+    bins: dict[int, list] = {}
     for sample in sample_generator:
-        bucket.append(sample)
-        if len(bucket) == batch_size:
-            yield builder(bucket, time_bucket, label_bucket)
-            bucket = []
+        length = len(sample[0])
+        key = round_up(max(length, 1), time_bucket)
+        bins.setdefault(key, []).append(sample)
+        if len(bins[key]) == batch_size:
+            yield builder(bins.pop(key), time_bucket, label_bucket)
             steps += 1
             if max_steps is not None and steps >= max_steps:
                 return
-    if bucket and not drop_remainder:
-        yield builder(
-            bucket, time_bucket, label_bucket, pad_to_batch=batch_size
-        )
+    # drain leftovers longest-first so partial batches stay homogeneous
+    for key in sorted(bins, reverse=True):
+        leftovers = bins[key]
+        while leftovers:
+            chunk, leftovers = (
+                leftovers[:batch_size],
+                leftovers[batch_size:],
+            )
+            if drop_remainder and len(chunk) < batch_size:
+                continue
+            yield builder(
+                chunk, time_bucket, label_bucket, pad_to_batch=batch_size
+            )
+            steps += 1
+            if max_steps is not None and steps >= max_steps:
+                return
 
 
 class PrefetchLoader:
@@ -192,6 +230,7 @@ class PrefetchLoader:
         queue_capacity: int = 8,
         device_put: bool = True,
         batch_builder: Callable = None,
+        group_by_length: bool = False,
     ):
         self._factory = generator_factory
         self._batch_size = batch_size
@@ -199,6 +238,7 @@ class PrefetchLoader:
         self._label_bucket = label_bucket
         self._max_steps = max_steps
         self._batch_builder = batch_builder
+        self._group_by_length = group_by_length
         self._queue: queue.Queue = queue.Queue(maxsize=queue_capacity)
         self._device_put = device_put
         self._thread: threading.Thread | None = None
@@ -214,6 +254,7 @@ class PrefetchLoader:
                 self._label_bucket,
                 self._max_steps,
                 batch_builder=self._batch_builder,
+                group_by_length=self._group_by_length,
             ):
                 if self._stop.is_set():
                     return

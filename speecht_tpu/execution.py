@@ -110,6 +110,7 @@ class DatasetExecutor(abc.ABC):
             batch_size=self.flags.batch_size,
             time_bucket=getattr(self.flags, "bucket_step", 256),
             max_steps=self.get_max_steps(),
+            group_by_length=getattr(self.flags, "group_by_length", False),
         )
 
     def checkpoint_manager(self) -> CheckpointManager:

@@ -332,3 +332,64 @@ class TestPipeline:
         loader = PrefetchLoader(gen, batch_size=2, device_put=False)
         with pytest.raises(RuntimeError, match="boom"):
             list(loader)
+
+
+class TestGroupByLength:
+    def test_batches_are_length_homogeneous(self):
+        from speecht_tpu.data.pipeline import batch_iterator
+
+        rng = np.random.RandomState(0)
+        lengths = [50, 260, 60, 270, 40, 280, 70, 290]
+
+        def gen():
+            for n in lengths:
+                yield rng.randn(n, 8).astype(np.float32), [1, 2]
+
+        batches = list(
+            batch_iterator(
+                gen(), batch_size=4, time_bucket=256, group_by_length=True
+            )
+        )
+        assert len(batches) == 2
+        shapes = sorted(b.features.shape[1] for b in batches)
+        assert shapes == [256, 512]
+        # all 4 short utterances ended up in the 256-frame batch
+        short = next(b for b in batches if b.features.shape[1] == 256)
+        assert sorted(short.seq_lengths.tolist()) == [40, 50, 60, 70]
+
+    def test_leftovers_padded_not_dropped(self):
+        from speecht_tpu.data.pipeline import batch_iterator
+
+        def gen():
+            for n in (10, 300, 20):
+                yield np.zeros((n, 8), np.float32), [1]
+
+        batches = list(
+            batch_iterator(
+                gen(), batch_size=2, time_bucket=256, group_by_length=True
+            )
+        )
+        total = sum((b.seq_lengths > 0).sum() for b in batches)
+        assert total == 3
+
+    def test_every_sample_seen_once(self):
+        from speecht_tpu.data.pipeline import batch_iterator
+
+        rng = np.random.RandomState(1)
+
+        def gen():
+            for i in range(37):
+                n = rng.randint(10, 1000)
+                yield np.full((n, 8), i, np.float32), [i % 28]
+
+        batches = list(
+            batch_iterator(
+                gen(), batch_size=8, time_bucket=256, group_by_length=True
+            )
+        )
+        seen = []
+        for b in batches:
+            for i in range(b.features.shape[0]):
+                if b.seq_lengths[i] > 0:
+                    seen.append(int(b.features[i, 0, 0]))
+        assert sorted(seen) == list(range(37))
