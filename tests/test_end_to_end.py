@@ -52,7 +52,8 @@ def run_cli(workdir, *args):
         "--run-name", "e2e",
         "--batch-size", "1",
     ]
-    return CLI(list(args) + common).run()
+    # subcommand first, then common defaults, then per-test overrides
+    return CLI([args[0]] + common + list(args[1:])).run()
 
 
 def test_preprocess(workdir):
@@ -181,6 +182,29 @@ def test_evaluate_from_audio_matches_cached(workdir, capsys):
         )
 
     assert decoded_line(audio_out) == decoded_line(cached_out)
+
+
+def test_mfcc_pipeline(workdir, capsys):
+    # the 39-dim mfcc path end to end: preprocess -> train 1 step -> evaluate
+    run_cli(workdir, "preprocess", "--num-workers", "1", "--mfcc")
+    cache = workdir / "data" / "preprocessed"  # no -power suffix for mfcc
+    files = list((cache / "train").glob("*.npz"))
+    assert len(files) == 1
+    data = np.load(files[0])
+    assert data["audio_fragments"].shape[1] == 39
+
+    state = run_cli(
+        workdir, "train", "--mfcc",
+        "--max-steps", "1", "--steps-per-checkpoint", "1",
+        "--run-name", "e2e-mfcc",
+    )
+    assert int(state.step) == 1
+    stats = run_cli(
+        workdir, "evaluate", "--mfcc", "--test", "--step-count", "1",
+        "--no-save", "--run-name", "e2e-mfcc",
+    )
+    assert stats.decodings_counter == 1
+    capsys.readouterr()
 
 
 def test_export(workdir):
