@@ -67,7 +67,10 @@ class SpeechCorpusProvider:
                 if info.name.startswith(TAR_ROOT + source):
                     info.name = info.name.replace(TAR_ROOT, "", 1)
                     members.append(info)
-            tar.extractall(target_directory, members)
+            try:
+                tar.extractall(target_directory, members, filter="data")
+            except TypeError:  # Python < 3.12 without the filter kwarg
+                tar.extractall(target_directory, members)
 
     def _is_ready(self, data_sets=DATA_SETS) -> bool:
         return all(

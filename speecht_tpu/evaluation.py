@@ -88,7 +88,13 @@ class Evaluation(DatasetExecutor):
         if lm_flags is not None and lm_flags.language_model:
             from speecht_tpu.ops.beam import BeamSearchDecoder
 
-            beam = BeamSearchDecoder(self.model, lm_flags)
+            beam = BeamSearchDecoder(
+                self.model,
+                lm_flags,
+                feature_type=(
+                    self.flags.feature_type if self.from_audio else None
+                ),
+            )
             return beam.eval_step
         if self.from_audio:
             return self._make_audio_eval_step()

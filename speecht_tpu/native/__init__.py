@@ -174,7 +174,6 @@ def npz_load_sample(path: str):
     )
     if rc != 0:
         raise ValueError(f"npz load failed for {path} (code {rc})")
-    count = shape[0] * shape[1]
     feats = np.ctypeslib.as_array(feats_ptr, shape=(shape[0], shape[1])).copy()
     lib.st_free(feats_ptr)
     transcript = np.ctypeslib.as_array(tr_ptr, shape=(tr_len.value,)).copy()

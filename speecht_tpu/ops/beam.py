@@ -57,7 +57,10 @@ class BeamSearchDecoder:
     """Batch beam-search decoder with optional n-gram LM shallow fusion."""
 
     def __init__(self, model, lm_config, blank_threshold: float = 0.999,
-                 num_threads: int | None = None):
+                 num_threads: int | None = None,
+                 feature_type: str | None = None):
+        """``feature_type`` switches the device part to the raw-audio front
+        end (AudioBatch inputs, features computed on device)."""
         self.model = model
         self.lm_config = lm_config
         self.blank_threshold = blank_threshold
@@ -70,14 +73,50 @@ class BeamSearchDecoder:
             max_workers=num_threads or min(32, (os.cpu_count() or 8))
         )
 
-        @jax.jit
-        def device_part(params, batch):
-            avg_loss, logits = self._loss_fn(params, batch)
-            logit_lengths = output_length(batch.seq_lengths)
-            logp, new_lengths = decode_ops.blank_collapse(
-                logits, logit_lengths, self.blank_threshold
+        if feature_type is None:
+
+            @jax.jit
+            def device_part(params, batch):
+                avg_loss, logits = self._loss_fn(params, batch)
+                logit_lengths = output_length(batch.seq_lengths)
+                logp, new_lengths = decode_ops.blank_collapse(
+                    logits, logit_lengths, self.blank_threshold
+                )
+                return avg_loss, logp, new_lengths
+
+        else:
+            import jax.numpy as jnp
+
+            from speecht_tpu.data import features_tpu as FT
+            from speecht_tpu.ops import ctc_pallas
+
+            feature_fn = (
+                FT.batch_power_spectrogram
+                if feature_type == "power"
+                else FT.batch_mfccs
             )
-            return avg_loss, logp, new_lengths
+
+            @jax.jit
+            def device_part(params, batch):
+                feats, frame_lengths = feature_fn(
+                    batch.audio, batch.num_samples
+                )
+                logits = model.apply({"params": params}, feats)
+                logit_lengths = output_length(frame_lengths)
+                losses = ctc_pallas.ctc_loss(
+                    logits, logit_lengths, batch.labels, batch.label_lengths
+                )
+                real = (batch.num_samples > 0).astype(jnp.float32)
+                avg_loss = jnp.sum(losses * real) / jnp.maximum(
+                    jnp.sum(real), 1.0
+                )
+                logit_lengths = jnp.where(
+                    batch.num_samples > 0, logit_lengths, 0
+                )
+                logp, new_lengths = decode_ops.blank_collapse(
+                    logits, logit_lengths, self.blank_threshold
+                )
+                return avg_loss, logp, new_lengths
 
         self._device_part = device_part
 

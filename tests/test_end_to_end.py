@@ -132,6 +132,18 @@ def test_evaluate_with_language_model(workdir, capsys):
     assert "Global statistics" in out
 
 
+def test_evaluate_from_audio_with_language_model(workdir, capsys):
+    lm_dir = _write_lm(workdir)
+    stats = run_cli(
+        workdir,
+        "evaluate", "--test", "--step-count", "1", "--no-save",
+        "--from-audio",
+        "--language-model", str(lm_dir), "--beam-width", "8",
+    )
+    assert stats.decodings_counter == 1
+    capsys.readouterr()
+
+
 def test_parameter_search(workdir, capsys):
     lm_dir = _write_lm(workdir)
     from speecht_tpu.cli import CLI
