@@ -68,7 +68,7 @@ def round_up(n: int, multiple: int) -> int:
 def build_audio_batch(
     samples: list[tuple[np.ndarray, np.ndarray]],
     sample_bucket: int = 160 * 256,
-    label_bucket: int = 32,
+    label_bucket: int | None = None,
     pad_to_batch: int = 0,
 ) -> AudioBatch:
     """Assemble (raw_audio, transcript) pairs into a padded AudioBatch.
@@ -81,7 +81,11 @@ def build_audio_batch(
     num_samples = np.array([len(s[0]) for s in samples], dtype=np.int32)
     label_lengths = np.array([len(s[1]) for s in samples], dtype=np.int32)
     S = round_up(int(num_samples.max()), sample_bucket)
-    L = round_up(max(int(label_lengths.max()), 1), label_bucket)
+    if label_bucket is None:
+        # tie to the implied frame bucket (hop 160), as in build_batch
+        L = max(S // 160 // 4, round_up(int(label_lengths.max()), 32), 32)
+    else:
+        L = round_up(max(int(label_lengths.max()), 1), label_bucket)
     B = max(n, pad_to_batch)
 
     audio = np.zeros((B, S), dtype=np.float32)
@@ -98,15 +102,21 @@ def build_audio_batch(
 def build_batch(
     samples: list[tuple[np.ndarray, np.ndarray]],
     time_bucket: int = 256,
-    label_bucket: int = 32,
+    label_bucket: int | None = None,
     pad_to_batch: int = 0,
 ) -> Batch:
     """Assemble (features [T,F], transcript) pairs into a padded Batch.
 
     Time is padded to the batch max rounded up to ``time_bucket`` (jit shape
-    reuse); labels likewise with ``label_bucket``. ``pad_to_batch`` appends
-    all-zero rows (seq_length 0 keeps them out of the loss) so partial final
-    batches keep the compiled batch size.
+    reuse). The label width defaults to a *function of the time bucket*
+    (T/4 — the CTC feasibility bound: S = 2L+1 must fit in T/2 logit
+    frames), so the number of distinct compiled shapes equals the number of
+    time buckets instead of their cross product with label buckets — with
+    variable-length speech, independent label bucketing causes a
+    compile-per-combination storm. Pass ``label_bucket`` to override.
+
+    ``pad_to_batch`` appends all-zero rows (seq_length 0 keeps them out of
+    the loss) so partial final batches keep the compiled batch size.
     """
     n = len(samples)
     input_size = samples[0][0].shape[1]
@@ -114,7 +124,10 @@ def build_batch(
     label_lengths = np.array([len(s[1]) for s in samples], dtype=np.int32)
 
     T = round_up(int(seq_lengths.max()), time_bucket)
-    L = round_up(max(int(label_lengths.max()), 1), label_bucket)
+    if label_bucket is None:
+        L = max(T // 4, round_up(int(label_lengths.max()), 32), 32)
+    else:
+        L = round_up(max(int(label_lengths.max()), 1), label_bucket)
     B = max(n, pad_to_batch)
 
     features = np.zeros((B, T, input_size), dtype=np.float32)
@@ -144,7 +157,7 @@ def batch_iterator(
     sample_generator: Iterator,
     batch_size: int,
     time_bucket: int = 256,
-    label_bucket: int = 32,
+    label_bucket: int | None = None,
     max_steps: int | None = None,
     drop_remainder: bool = False,
     batch_builder: Callable = None,
@@ -225,7 +238,7 @@ class PrefetchLoader:
         generator_factory: Callable[[], Iterator],
         batch_size: int,
         time_bucket: int = 256,
-        label_bucket: int = 32,
+        label_bucket: int | None = None,
         max_steps: int | None = None,
         queue_capacity: int = 8,
         device_put: bool = True,

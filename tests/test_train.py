@@ -289,6 +289,9 @@ class TestPipeline:
         b = build_batch(samples, time_bucket=256, label_bucket=32)
         assert b.features.shape == (2, 512, 8)
         assert b.labels.shape == (2, 32)
+        # default label width ties to the time bucket (T/4)
+        b2 = build_batch(samples, time_bucket=256)
+        assert b2.labels.shape == (2, 128)
         assert b.seq_lengths.tolist() == [100, 300]
         assert b.label_lengths.tolist() == [3, 2]
         assert b.labels[0, 3] == vocabulary.PAD_ID
