@@ -69,6 +69,11 @@ class CLI:
             help="Pad batch time length up to a multiple of this.",
         )
         p.add_argument(
+            "--transfer-dtype", dest="transfer_dtype", type=str,
+            default="bfloat16", choices=["bfloat16", "float32"],
+            help="Dtype for the host->device feature transfer.",
+        )
+        p.add_argument(
             "--group-by-length", dest="group_by_length",
             action="store_true",
             help="Batch similar-length utterances together (less padding "

@@ -29,6 +29,7 @@ import threading
 from typing import Callable, Iterator
 
 import jax
+import ml_dtypes
 import numpy as np
 
 from speecht_tpu import vocabulary
@@ -222,6 +223,17 @@ def batch_iterator(
                 return
 
 
+def _cast_payload(batch, dtype):
+    """Cast the dense float payload (features/audio) for transfer."""
+    if isinstance(batch, Batch):
+        return dataclasses.replace(
+            batch, features=batch.features.astype(dtype)
+        )
+    if isinstance(batch, AudioBatch):
+        return dataclasses.replace(batch, audio=batch.audio.astype(dtype))
+    return batch
+
+
 class PrefetchLoader:
     """Background-thread batch producer with device prefetch.
 
@@ -244,7 +256,12 @@ class PrefetchLoader:
         device_put: bool = True,
         batch_builder: Callable = None,
         group_by_length: bool = False,
+        transfer_dtype: str = "bfloat16",
     ):
+        """``transfer_dtype`` casts the dense feature/audio payload before
+        the host->device transfer. bfloat16 halves wire bytes and matches
+        the conv stack's compute dtype; pass "float32" for bit-exact input
+        parity with the offline cache."""
         self._factory = generator_factory
         self._batch_size = batch_size
         self._time_bucket = time_bucket
@@ -252,6 +269,7 @@ class PrefetchLoader:
         self._max_steps = max_steps
         self._batch_builder = batch_builder
         self._group_by_length = group_by_length
+        self._transfer_dtype = transfer_dtype
         self._queue: queue.Queue = queue.Queue(maxsize=queue_capacity)
         self._device_put = device_put
         self._thread: threading.Thread | None = None
@@ -303,6 +321,8 @@ class PrefetchLoader:
                 if pending is not None:
                     yield pending
                 return
+            if self._transfer_dtype == "bfloat16":
+                item = _cast_payload(item, ml_dtypes.bfloat16)
             on_device = (
                 pmesh.shard_batch(item) if self._device_put else item
             )

@@ -111,6 +111,9 @@ class DatasetExecutor(abc.ABC):
             time_bucket=getattr(self.flags, "bucket_step", 256),
             max_steps=self.get_max_steps(),
             group_by_length=getattr(self.flags, "group_by_length", False),
+            transfer_dtype=getattr(
+                self.flags, "transfer_dtype", "bfloat16"
+            ),
         )
 
     def checkpoint_manager(self) -> CheckpointManager:
