@@ -289,6 +289,13 @@ class PrefetchLoader:
             ):
                 if self._stop.is_set():
                     return
+                if self._device_put:
+                    # transfer on the worker thread: H2D overlaps the
+                    # consumer's device compute (device_put can block for
+                    # the copy; doing it here keeps the step loop hot)
+                    if self._transfer_dtype == "bfloat16":
+                        batch = _cast_payload(batch, ml_dtypes.bfloat16)
+                    batch = pmesh.shard_batch(batch, mesh=self._mesh)
                 self._queue.put(batch)
         except BaseException as e:  # propagate into the consumer
             self._error = e
@@ -296,6 +303,9 @@ class PrefetchLoader:
             self._queue.put(self._SENTINEL)
 
     def start(self) -> "PrefetchLoader":
+        # capture the active mesh: the worker thread has its own
+        # thread-local mesh context
+        self._mesh = pmesh.get_mesh()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
         return self
@@ -312,20 +322,10 @@ class PrefetchLoader:
     def __iter__(self):
         if self._thread is None:
             self.start()
-        pending = None  # device-resident next batch
         while True:
             item = self._queue.get()
             if item is self._SENTINEL:
                 if self._error is not None:
                     raise self._error
-                if pending is not None:
-                    yield pending
                 return
-            if self._transfer_dtype == "bfloat16":
-                item = _cast_payload(item, ml_dtypes.bfloat16)
-            on_device = (
-                pmesh.shard_batch(item) if self._device_put else item
-            )
-            if pending is not None:
-                yield pending
-            pending = on_device
+            yield item
