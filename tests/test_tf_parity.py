@@ -105,3 +105,89 @@ class TestGreedyDecoderVsTensorflow:
             tf_row = [int(v) for v in dense[b] if v != -1]
             our_row = [int(v) for v in ours[b, : our_lengths[b]]]
             assert our_row == tf_row, (b, our_row, tf_row)
+
+
+class TestNetworkForwardVsTensorflow:
+    """The 11-layer network with identical weights must produce identical
+    logits in TF (the reference's op semantics: conv1d SAME + bias + relu,
+    speech_model.py:128-181,:275-295) and in our flax model."""
+
+    def test_wav2letter_logits_match_tf_conv_chain(self):
+        import jax
+        import jax.numpy as jnp
+        import flax.linen as nn
+        from speecht_tpu.models.wav2letter import Wav2Letter, Wav2LetterConfig
+
+        cfg = Wav2LetterConfig(
+            input_size=8,
+            base_channels=12,
+            wide_channels=24,
+            num_body_layers=2,
+            compute_dtype="float32",  # bit-comparable against TF f32
+        )
+        model = Wav2Letter(cfg)
+        rng = np.random.RandomState(0)
+        x = rng.randn(2, 32, cfg.input_size).astype(np.float32)
+        params = nn.meta.unbox(
+            model.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+        )
+        ours = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+
+        # the same stack through TF's kernels, same [width,in,out] weights
+        y = tf.constant(x)
+        for i, (width, stride, features, relu) in enumerate(cfg.layer_specs):
+            k = tf.constant(np.asarray(params[f"conv_{i}"]["kernel"]))
+            b = tf.constant(np.asarray(params[f"conv_{i}"]["bias"]))
+            y = tf.nn.conv1d(y, k, stride, "SAME") + b
+            if relu:
+                y = tf.nn.relu(y)
+        theirs = y.numpy()
+
+        assert ours.shape == theirs.shape == (2, 16, 29)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+
+class TestBeamSearchVsTensorflow:
+    """Our prefix beam search must find hypotheses at least as probable as
+    tf.nn.ctc_beam_search_decoder's (the un-forked base of the reference's
+    LM decoder, speech_model.py:101-111)."""
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_beam_hypothesis_at_least_as_probable(self, seed):
+        from speecht_tpu import native
+
+        rng = np.random.RandomState(seed)
+        B, T, C = 1, 14, vocabulary.NUM_CLASSES
+        # moderately peaky emissions (decoded transcripts are nonempty)
+        logits = rng.randn(T, C).astype(np.float32) * 2.0
+        logp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+
+        ours = native.ctc_beam_search(
+            logp, beam_width=100, prune_top_k=0
+        ).tolist()
+
+        (decoded,), _ = tf.nn.ctc_beam_search_decoder(
+            tf.constant(logp[:, None, :]),
+            tf.constant([T], tf.int32),
+            beam_width=100,
+            top_paths=1,
+        )
+        tf_ids = tf.sparse.to_dense(decoded, default_value=-1).numpy()[0]
+        tf_ids = [int(v) for v in tf_ids if v != -1]
+
+        def label_logprob(ids):
+            if not ids:
+                # P(empty) = prod of blanks
+                return float(np.sum(logp[:, vocabulary.BLANK_ID]))
+            from speecht_tpu.ops import ctc
+
+            labels = np.asarray([ids], np.int32)
+            loss = ctc.ctc_loss(
+                logits[None],
+                np.array([T], np.int32),
+                labels,
+                np.array([len(ids)], np.int32),
+            )
+            return -float(loss[0])
+
+        assert label_logprob(ours) >= label_logprob(tf_ids) - 1e-3
