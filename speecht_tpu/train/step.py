@@ -41,6 +41,11 @@ def make_loss_fn(model: Wav2Letter) -> Callable:
             logits, logit_lengths, batch.labels, batch.label_lengths
         )
         real = (batch.seq_lengths > 0).astype(jnp.float32)
+        # CTC-infeasible rows (label longer than the frames can emit) carry
+        # a sentinel ~1e30 loss and meaningless gradients — exclude them
+        # (the reference lets TF's inf loss poison the batch instead)
+        feasible = (losses < 1e29).astype(jnp.float32)
+        real = real * feasible
         avg_loss = jnp.sum(losses * real) / jnp.maximum(jnp.sum(real), 1.0)
         return avg_loss, logits
 

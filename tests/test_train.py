@@ -396,3 +396,33 @@ class TestGroupByLength:
                 if b.seq_lengths[i] > 0:
                     seen.append(int(b.features[i, 0, 0]))
         assert sorted(seen) == list(range(37))
+
+
+def test_infeasible_labels_excluded_from_loss(model_and_state):
+    # a label longer than the logit frames can emit must not poison the
+    # batch loss or gradients
+    h, tx, state = model_and_state
+    rng = np.random.RandomState(9)
+    batch = tiny_batch(rng, B=2, T=32, L=4)
+    bad = Batch(
+        features=batch.features,
+        seq_lengths=batch.seq_lengths,
+        labels=np.concatenate(
+            [batch.labels, rng.randint(0, 5, (2, 20)).astype(np.int32)],
+            axis=1,
+        ),
+        label_lengths=np.array([4, 24], np.int32),  # row 1 infeasible (T/2=16)
+    )
+    l_all, _ = h.loss_fn(state.params, bad)
+    only_good = Batch(
+        features=batch.features[:1],
+        seq_lengths=batch.seq_lengths[:1],
+        labels=bad.labels[:1],
+        label_lengths=bad.label_lengths[:1],
+    )
+    l_good, _ = h.loss_fn(state.params, only_good)
+    assert float(l_all) == pytest.approx(float(l_good), rel=1e-5)
+
+    g = jax.grad(lambda p: h.loss_fn(p, bad)[0])(state.params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
