@@ -107,6 +107,7 @@ class BeamSearchDecoder:
                     logits, logit_lengths, batch.labels, batch.label_lengths
                 )
                 real = (batch.num_samples > 0).astype(jnp.float32)
+                real = real * (losses < 1e29).astype(jnp.float32)
                 avg_loss = jnp.sum(losses * real) / jnp.maximum(
                     jnp.sum(real), 1.0
                 )
