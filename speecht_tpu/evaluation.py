@@ -209,12 +209,12 @@ class Evaluation(DatasetExecutor):
         dec_lengths = np.asarray(dec_lengths)
         labels = np.asarray(batch.labels)
         label_lengths = np.asarray(batch.label_lengths)
-        # Batch carries seq_lengths (feature frames); AudioBatch num_samples
-        seq_lengths = np.asarray(
-            getattr(batch, "seq_lengths", None)
-            if hasattr(batch, "seq_lengths")
-            else batch.num_samples
-        )
+        # Batch carries seq_lengths (feature frames); AudioBatch carries
+        # num_samples — either marks padded rows with 0
+        if hasattr(batch, "seq_lengths"):
+            seq_lengths = np.asarray(batch.seq_lengths)
+        else:
+            seq_lengths = np.asarray(batch.num_samples)
 
         for i in range(decoded.shape[0]):
             if seq_lengths[i] == 0:  # padded row of a partial batch

@@ -67,13 +67,13 @@ class StreamingRecognizer:
 
     def _extract_new_frames(self):
         """Mel power for frames not yet computed (full left/right context)."""
-        n_total_frames = 1 + len(self._audio) // self.hop
         have = 0 if self._mel_power is None else self._mel_power.shape[0]
-        # a frame t is exact once audio covers t*hop + n_fft//2 samples
+        # a frame t is exact once audio covers t*hop + n_fft//2 samples;
+        # never more frames than the centered STFT defines (1 + n//hop)
         computable = max(
             0, (len(self._audio) - self.n_fft // 2) // self.hop + 1
         )
-        computable = min(computable, n_total_frames)
+        computable = min(computable, 1 + len(self._audio) // self.hop)
         if computable <= have:
             return
         # compute frames [have, computable) directly from their local audio
@@ -149,12 +149,10 @@ class StreamingRecognizer:
         W = self.window_frames
         pad_T = -(-T // W) * W
         padded = np.pad(feats, ((0, pad_T - T), (0, 0))).astype(np.float32)
-        pieces = []
-        # non-overlapping windows would clip context at boundaries; for the
-        # final pass run the full utterance in one shot per window-multiple
+        # final pass runs the full utterance in one shot (padded to a
+        # window multiple so compiled shapes are reused)
         logits = np.asarray(self._forward(self.params, padded[None]))[0]
-        pieces = logits[: T // 2]
-        ids = greedy_collapse(np.argmax(pieces, axis=-1))
+        ids = greedy_collapse(np.argmax(logits[: T // 2], axis=-1))
         return vocabulary.ids_to_sentence(ids)
 
     def reset(self):
