@@ -71,14 +71,16 @@ def main():
         out = eval_step(params, features, seq_lengths)
     np.asarray(out[1])
 
-    iters = 40
-    start = time.perf_counter()
-    for _ in range(iters):
-        out = eval_step(params, features, seq_lengths)
-    np.asarray(out[1])  # data dependency on the final step drains the queue
-    elapsed = time.perf_counter() - start
-
-    utt_per_sec = BATCH * iters / elapsed
+    # median of several windows: the dev tunnel adds run-to-run jitter
+    iters = 15
+    rates = []
+    for _window in range(5):
+        start = time.perf_counter()
+        for _ in range(iters):
+            out = eval_step(params, features, seq_lengths)
+        np.asarray(out[1])  # data dependency on the final step drains queue
+        rates.append(BATCH * iters / (time.perf_counter() - start))
+    utt_per_sec = float(np.median(rates))
     print(
         json.dumps(
             {
