@@ -133,6 +133,13 @@ class CLI:
             "--profile-steps", dest="profile_steps", type=str, default=None,
             help="Capture a jax.profiler trace over steps START:STOP.",
         )
+        p.add_argument(
+            "--verbose-summaries", dest="verbose_summaries",
+            action="store_true",
+            help="Also emit logits/filter/bias images and activation "
+            "histograms every checkpoint step (reference "
+            "speech_model.py:49-51,158-178).",
+        )
 
     def _add_evaluation_parser(self):
         p = self.subparsers.add_parser(

@@ -77,6 +77,7 @@ class TrainConfig(BaseConfig):
     limit_training_set: int = 0
     steps_per_checkpoint: int = 1000
     epsilon: float = 1e-3  # Adam epsilon (reference speech_model.py:77)
+    verbose_summaries: bool = False  # logits/filter/bias images + act hists
     run_type: str = "train"
 
 

@@ -83,21 +83,41 @@ def _packed_doubles(num: int, values) -> bytes:
     return bytes([num << 3 | 2]) + _varint(len(payload)) + payload
 
 
-def _histogram_proto(values: np.ndarray) -> bytes:
-    """tensorflow.HistogramProto wire encoding.
+def _histogram_proto_from_stats(
+    mn: float,
+    mx: float,
+    num: float,
+    total: float,
+    sum_squares: float,
+    bucket_limits,
+    buckets,
+) -> bytes:
+    """tensorflow.HistogramProto wire encoding from precomputed stats.
 
     Fields: 1=min 2=max 3=num 4=sum 5=sum_squares 6=bucket_limit[] 7=bucket[]
     """
+    msg = _field_double(1, float(mn))
+    msg += _field_double(2, float(mx))
+    msg += _field_double(3, float(num))
+    msg += _field_double(4, float(total))
+    msg += _field_double(5, float(sum_squares))
+    msg += _packed_doubles(6, bucket_limits)
+    msg += _packed_doubles(7, buckets)
+    return msg
+
+
+def _histogram_proto(values: np.ndarray) -> bytes:
     values = np.asarray(values, dtype=np.float64).ravel()
     counts, edges = np.histogram(values, bins=30)
-    msg = _field_double(1, float(values.min()))
-    msg += _field_double(2, float(values.max()))
-    msg += _field_double(3, float(values.size))
-    msg += _field_double(4, float(values.sum()))
-    msg += _field_double(5, float(np.square(values).sum()))
-    msg += _packed_doubles(6, edges[1:])
-    msg += _packed_doubles(7, counts)
-    return msg
+    return _histogram_proto_from_stats(
+        values.min(),
+        values.max(),
+        values.size,
+        values.sum(),
+        np.square(values).sum(),
+        edges[1:],
+        counts,
+    )
 
 
 def encode_png_grayscale(img: np.ndarray) -> bytes:
@@ -143,6 +163,7 @@ def _event(
     file_version: str | None = None,
     scalars: dict[str, float] | None = None,
     histograms: dict[str, np.ndarray] | None = None,
+    raw_histograms: dict[str, dict] | None = None,
     images: dict[str, np.ndarray] | None = None,
 ) -> bytes:
     # tensorflow.Event: 1=wall_time, 2=step, 3=file_version, 5=summary
@@ -160,6 +181,20 @@ def _event(
         # Summary.Value: 1=tag, 5=histo
         val = _field_bytes(1, tag.encode()) + _field_bytes(
             5, _histogram_proto(values)
+        )
+        summary += _field_bytes(1, val)
+    for tag, s in (raw_histograms or {}).items():
+        val = _field_bytes(1, tag.encode()) + _field_bytes(
+            5,
+            _histogram_proto_from_stats(
+                s["min"],
+                s["max"],
+                s["num"],
+                s["sum"],
+                s["sum_squares"],
+                s["bucket_limits"],
+                s["buckets"],
+            ),
         )
         summary += _field_bytes(1, val)
     for tag, img in (images or {}).items():
@@ -204,6 +239,15 @@ class SummaryWriter:
         speech_model.py:50-51,:158-178)."""
         self._write_record(
             _event(time.time(), step=step, histograms=histograms)
+        )
+
+    def add_raw_histograms(self, step: int, stats: dict):
+        """Histogram summaries from device-reduced stats (min/max/num/sum/
+        sum_squares/bucket_limits/buckets dicts per tag — see
+        speecht_tpu/train/summaries.py). Avoids fetching full tensors to
+        host just to bin them."""
+        self._write_record(
+            _event(time.time(), step=step, raw_histograms=stats)
         )
 
     def add_images(self, step: int, images: dict):

@@ -52,14 +52,10 @@ def make_loss_fn(model: Wav2Letter) -> Callable:
     return loss_fn
 
 
-def make_train_step(
-    model: Wav2Letter, tx: optax.GradientTransformation
-) -> Callable:
-    """Returns jitted (state, batch) -> (state, metrics). State is donated."""
+def _make_update_fn(model: Wav2Letter, tx: optax.GradientTransformation):
     loss_fn = make_loss_fn(model)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, batch):
+    def update(state: TrainState, batch):
         (avg_loss, _logits), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, batch)
@@ -70,20 +66,69 @@ def make_train_step(
             lambda u: -state.learning_rate * u, updates
         )
         params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=params,
+            opt_state=opt_state,
+            step=state.step + 1,
+            learning_rate=state.learning_rate,
+        )
+        return new_state, avg_loss, optax.global_norm(grads)
+
+    return update
+
+
+def make_train_step(
+    model: Wav2Letter, tx: optax.GradientTransformation
+) -> Callable:
+    """Returns jitted (state, batch) -> (state, metrics). State is donated."""
+    update = _make_update_fn(model, tx)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch):
+        new_state, avg_loss, grad_norm = update(state, batch)
         metrics = {
             "loss": avg_loss,
-            "grad_norm": optax.global_norm(grads),
+            "grad_norm": grad_norm,
             "learning_rate": state.learning_rate,
         }
-        return (
-            TrainState(
-                params=params,
-                opt_state=opt_state,
-                step=state.step + 1,
-                learning_rate=state.learning_rate,
-            ),
-            metrics,
-        )
+        return new_state, metrics
+
+    return train_step
+
+
+def init_metrics_acc():
+    """Device-resident running metrics for the accumulating train step."""
+    return {
+        "loss_sum": jnp.zeros((), jnp.float32),
+        "grad_norm_sum": jnp.zeros((), jnp.float32),
+        "count": jnp.zeros((), jnp.float32),
+    }
+
+
+def make_train_step_acc(
+    model: Wav2Letter, tx: optax.GradientTransformation
+) -> Callable:
+    """Accumulating train step: (state, acc, batch) -> (state, acc).
+
+    Loss and grad-norm fold into a donated device-resident accumulator
+    (:func:`init_metrics_acc`) instead of being returned per step, so the
+    training loop never reads a scalar back from the device between
+    checkpoints — the hot loop stays dispatch-only, matching the reference's
+    single ``sess.run`` with in-graph dequeue (reference training.py:57-90),
+    which also never syncs more than it must. The host fetches the
+    accumulator once per ``steps_per_checkpoint``.
+    """
+    update = _make_update_fn(model, tx)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(state: TrainState, acc, batch):
+        new_state, avg_loss, grad_norm = update(state, batch)
+        acc = {
+            "loss_sum": acc["loss_sum"] + avg_loss,
+            "grad_norm_sum": acc["grad_norm_sum"] + grad_norm,
+            "count": acc["count"] + 1.0,
+        }
+        return new_state, acc
 
     return train_step
 

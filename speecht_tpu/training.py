@@ -13,9 +13,16 @@ speecht/training.py:26-98):
   the max of the last 3 checkpoint losses — training.py:82-84), save a
   checkpoint.
 
-TPU-native: one jitted donated train step; device prefetch overlaps H2D with
-compute; checkpointing is orbax (async-capable); scalars go to the
-TensorBoard-compatible event writer under ``log/<run>_<type>``.
+TPU-native: one jitted donated train step whose loss/grad-norm fold into a
+device-resident accumulator, so the hot loop is dispatch-only — the host
+reads nothing back between checkpoints (matching the reference's hot loop,
+one ``sess.run`` with in-graph dequeue, training.py:57-90). Device prefetch
+overlaps H2D with compute; checkpointing is orbax (async-capable); summary
+histograms/images are reduced on device (train/summaries.py) and only the
+tiny stats cross the tunnel; scalars go to the TensorBoard-compatible event
+writer under ``log/<run>_<type>``. ``--verbose-summaries`` adds the
+reference's logits/filter/bias images and activation histograms
+(speech_model.py:49-51,:158-178).
 """
 
 from __future__ import annotations
@@ -28,6 +35,7 @@ import numpy as np
 from speecht_tpu.execution import DatasetExecutor, init_state
 from speecht_tpu.parallel import mesh as pmesh
 from speecht_tpu.train import step as tstep
+from speecht_tpu.train import summaries as tsummaries
 from speecht_tpu.train.metrics_writer import SummaryWriter
 
 
@@ -75,7 +83,7 @@ class Training(DatasetExecutor):
         if restored:
             print(f"Restored model at step {int(state.step)}")
 
-        train_step = tstep.make_train_step(self.model, tx)
+        train_step = tstep.make_train_step_acc(self.model, tx)
         writer = SummaryWriter(
             os.path.join(flags.log_dir, f"{flags.run_name}_{flags.run_type}")
         )
@@ -107,43 +115,66 @@ class Training(DatasetExecutor):
         return state
 
     def _train_loop(self, state, train_step, writer, ckpt, profile_range):
+        import jax
+
         flags = self.flags
-        step_time, loss = 0.0, 0.0
         previous_losses: list[float] = []
         spc = flags.steps_per_checkpoint
         profiling = False
+        verbose = bool(getattr(flags, "verbose_summaries", False))
+        # the global step is tracked host-side so the hot loop never reads
+        # state.step back from the device (the device copy stays
+        # authoritative for checkpointing)
+        global_step = int(state.step)
+        acc = tstep.init_metrics_acc()
+        param_summarizer = tsummaries.make_param_summarizer(
+            with_images=verbose
+        )
+        act_summarizer = (
+            tsummaries.make_activation_summarizer(self.model)
+            if verbose
+            else None
+        )
+        window_start = time.time()
 
         with pmesh.use_mesh(self.mesh):
             loader = self.create_loader()
             for batch in loader:
-                if profile_range and not profiling and int(state.step) == profile_range[0]:
-                    import jax
-
+                if (
+                    profile_range
+                    and not profiling
+                    and global_step == profile_range[0]
+                ):
                     jax.profiler.start_trace(
                         os.path.join(flags.log_dir, "profile")
                     )
                     profiling = True
 
-                start_time = time.time()
-                state, metrics = train_step(state, batch)
+                # dispatch-only: no host<->device sync in the hot loop
+                state, acc = train_step(state, acc, batch)
                 self._latest_state = state
-                avg_loss = float(metrics["loss"])
-                step_time += (time.time() - start_time) / spc
-                loss += avg_loss / spc
+                global_step += 1
 
-                current_step = int(state.step)
-                if profiling and current_step >= profile_range[1]:
-                    import jax
-
+                if profiling and global_step >= profile_range[1]:
                     jax.profiler.stop_trace()
                     profiling = False
                     print(f"Profiler trace written to {flags.log_dir}/profile")
-                if current_step % spc == 0:
+                if global_step % spc == 0:
+                    # the one host readback per interval: running metrics
+                    # (three scalars) + lr, then the device-reduced summaries
+                    m = jax.device_get(acc)
+                    acc = tstep.init_metrics_acc()
+                    n = max(float(m["count"]), 1.0)
+                    avg_loss = float(m["loss_sum"]) / n
+                    avg_grad_norm = float(m["grad_norm_sum"]) / n
                     lr = float(state.learning_rate)
+                    step_time = (time.time() - window_start) / spc
+                    # prints the interval-accumulated average loss
+                    # (reference training.py:73-75 semantics)
                     print(
                         "global step {:d} learning rate {:.4f} step-time "
                         "{:.2f} average loss {:.2f} perplexity {:.2f}".format(
-                            current_step,
+                            global_step,
                             lr,
                             step_time,
                             avg_loss,
@@ -152,45 +183,42 @@ class Training(DatasetExecutor):
                         flush=True,
                     )
                     writer.add_scalars(
-                        current_step,
+                        global_step,
                         {
                             "loss": avg_loss,
                             "learning_rate": lr,
-                            "grad_norm": float(metrics["grad_norm"]),
+                            "grad_norm": avg_grad_norm,
                             "step_time": step_time,
                         },
                     )
-                    # per-layer parameter histograms (parity with the
-                    # reference's filter/bias histograms,
-                    # speech_model.py:158-178)
-                    import jax as _jax
-                    import numpy as _np
-
-                    flat = _jax.tree_util.tree_flatten_with_path(
-                        state.params
-                    )[0]
-                    writer.add_histograms(
-                        current_step,
-                        {
-                            "/".join(
-                                getattr(p, "key", str(p)) for p in path
-                            ): _np.asarray(value)
-                            for path, value in flat
-                        },
+                    # per-layer parameter histograms (+ filter/bias images
+                    # when verbose), reduced on device: ~20 KB fetched
+                    # instead of the ~90 MB parameter tree
+                    hists, images = jax.device_get(
+                        param_summarizer(state.params)
                     )
+                    writer.add_raw_histograms(global_step, hists)
+                    if images:
+                        writer.add_images(global_step, images)
+                    if act_summarizer is not None:
+                        ahists, aimages = jax.device_get(
+                            act_summarizer(state.params, batch.features)
+                        )
+                        writer.add_raw_histograms(global_step, ahists)
+                        writer.add_images(global_step, aimages)
                     writer.flush()
 
                     if should_decay_learning_rate(
-                        previous_losses, loss,
+                        previous_losses, avg_loss,
                         flags.learning_rate_decay_factor,
                     ):
                         state = tstep.decay_learning_rate(
                             state, flags.learning_rate_decay_factor
                         )
-                    previous_losses.append(loss)
+                    previous_losses.append(avg_loss)
 
                     ckpt.save(state)
                     print("Model saved", flush=True)
-                    step_time, loss = 0.0, 0.0
+                    window_start = time.time()
 
         return state

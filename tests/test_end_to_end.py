@@ -73,6 +73,7 @@ def test_train_two_steps(workdir):
         "--max-steps", "2",
         "--steps-per-checkpoint", "1",
         "--learning-rate", "1e-4",
+        "--verbose-summaries",
     )
     assert int(state.step) == 2
     # checkpoint written
@@ -81,9 +82,29 @@ def test_train_two_steps(workdir):
     mgr = CheckpointManager(str(workdir / "train" / "e2e"))
     assert mgr.latest_step() == 2
     mgr.close()
-    # training summaries written
+    # training summaries written, incl. verbose images + activation
+    # histograms (reference speech_model.py:49-51,158-178 parity)
     logs = list((workdir / "log" / "e2e_train").glob("events.out.tfevents.*"))
     assert logs
+    import tensorflow as tf
+    from tensorflow.core.util import event_pb2
+
+    tags = {"image": set(), "histo": set(), "scalar": set()}
+    for raw in tf.data.TFRecordDataset(str(logs[0])):
+        e = event_pb2.Event()
+        e.ParseFromString(raw.numpy())
+        for v in e.summary.value:
+            if v.HasField("image"):
+                tags["image"].add(v.tag)
+            elif v.HasField("histo"):
+                tags["histo"].add(v.tag)
+            elif v.HasField("simple_value"):
+                tags["scalar"].add(v.tag)
+    assert {"loss", "learning_rate", "grad_norm", "step_time"} <= tags["scalar"]
+    assert "logits" in tags["image"]
+    assert any(t.endswith("kernel") for t in tags["image"])  # filter images
+    assert any(t.startswith("activations/") for t in tags["histo"])
+    assert any(t.endswith("bias") for t in tags["histo"])
 
 
 def test_train_resumes_from_checkpoint(workdir):

@@ -132,6 +132,112 @@ def test_grad_clipping_applied(model_and_state):
     assert np.isfinite(float(metrics["grad_norm"]))
 
 
+def test_accumulating_step_matches_per_step_metrics(harness):
+    """make_train_step_acc must fold exactly the per-step loss/grad-norm
+    that make_train_step reports, and produce identical parameters."""
+    acc_step = tstep.make_train_step_acc(harness.model, harness.tx)
+    batches = [tiny_batch(np.random.RandomState(s)) for s in range(3)]
+
+    state_a = harness.fresh_state()
+    losses, norms = [], []
+    for b in batches:
+        state_a, m = harness.train_step(state_a, b)
+        losses.append(float(m["loss"]))
+        norms.append(float(m["grad_norm"]))
+
+    state_b = harness.fresh_state()
+    acc = tstep.init_metrics_acc()
+    for b in batches:
+        state_b, acc = acc_step(state_b, acc, b)
+
+    assert float(acc["count"]) == 3
+    assert float(acc["loss_sum"]) == pytest.approx(sum(losses), rel=1e-5)
+    assert float(acc["grad_norm_sum"]) == pytest.approx(
+        sum(norms), rel=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(state_a.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state_b.params)[0]),
+        rtol=1e-6,
+    )
+
+
+class TestDeviceSummaries:
+    def test_device_histogram_matches_numpy(self):
+        from speecht_tpu.train import summaries
+
+        x = np.random.RandomState(0).randn(1000).astype(np.float32)
+        s = jax.device_get(summaries.device_histogram(jnp.asarray(x)))
+        counts, edges = np.histogram(x, bins=30)
+        assert s["min"] == pytest.approx(x.min())
+        assert s["max"] == pytest.approx(x.max())
+        assert s["num"] == 1000
+        assert s["sum"] == pytest.approx(x.sum(), rel=1e-5)
+        np.testing.assert_allclose(s["bucket_limits"], edges[1:], rtol=1e-5)
+        np.testing.assert_array_equal(s["buckets"], counts)
+
+    def test_device_histogram_constant_tensor(self):
+        from speecht_tpu.train import summaries
+
+        s = jax.device_get(
+            summaries.device_histogram(jnp.zeros((64,), jnp.float32))
+        )
+        assert s["buckets"].sum() == 64
+        assert np.isfinite(s["bucket_limits"]).all()
+
+    def test_raw_histograms_readable_by_tf(self, tmp_path):
+        from speecht_tpu.train import summaries
+        from speecht_tpu.train.metrics_writer import SummaryWriter
+
+        x = np.random.RandomState(1).randn(512).astype(np.float32)
+        stats = jax.device_get(summaries.device_histogram(jnp.asarray(x)))
+        w = SummaryWriter(str(tmp_path))
+        w.add_raw_histograms(7, {"w": stats})
+        w.close()
+
+        import tensorflow as tf
+        from tensorflow.core.util import event_pb2
+
+        histo = None
+        for raw in tf.data.TFRecordDataset(w.path):
+            e = event_pb2.Event()
+            e.ParseFromString(raw.numpy())
+            for v in e.summary.value:
+                if v.tag == "w":
+                    histo = v.histo
+        assert histo is not None
+        assert histo.num == 512
+        assert histo.min == pytest.approx(x.min(), rel=1e-5)
+        assert histo.sum == pytest.approx(x.sum(), rel=1e-4)
+        assert sum(histo.bucket) == 512
+
+    def test_param_and_activation_summarizers(self, harness):
+        from speecht_tpu.train import summaries
+
+        state = harness.fresh_state()
+        hists, images = jax.device_get(
+            summaries.make_param_summarizer(with_images=True)(state.params)
+        )
+        assert any(tag.endswith("kernel") for tag in hists)
+        assert set(images) == set(hists)  # every leaf gets an image
+        for img in images.values():
+            assert img.ndim == 2
+            assert max(img.shape) <= summaries.IMAGE_MAX_HW
+
+        batch = tiny_batch(np.random.RandomState(3))
+        ahists, aimages = jax.device_get(
+            summaries.make_activation_summarizer(harness.model)(
+                state.params, jnp.asarray(batch.features)
+            )
+        )
+        n_layers = len(TINY.layer_specs)
+        acts = [t for t in ahists if t.startswith("activations/")]
+        assert len(acts) == n_layers
+        assert "logits" in ahists and "logits" in aimages
+        # logits image is [C, T//2] transposed for display
+        assert aimages["logits"].shape[0] == TINY.num_classes
+
+
 class TestDataParallel:
     def test_dp_matches_single_device(self, model_and_state):
         h, tx, state = model_and_state
