@@ -99,6 +99,12 @@ class CLI:
         parser.add_argument(
             "--beam-width", dest="beam_width", type=int, default=100
         )
+        parser.add_argument(
+            "--blank-threshold", dest="blank_threshold", type=float,
+            default=0.999,
+            help="Drop frames whose blank probability exceeds this on "
+            "device before the host beam (1.0 disables collapse).",
+        )
 
     def _add_training_parser(self):
         p = self.subparsers.add_parser(
@@ -233,6 +239,7 @@ class CLI:
                         word_count_weight=parsed.word_count_weight,
                         valid_word_count_weight=parsed.valid_word_count_weight,
                         beam_width=parsed.beam_width,
+                        blank_threshold=parsed.blank_threshold,
                     )
             self._parsed = parsed
         return self._parsed

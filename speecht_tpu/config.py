@@ -63,6 +63,10 @@ class LanguageModelConfig:
     word_count_weight: float = 0.0
     valid_word_count_weight: float = 2.3
     beam_width: int = 100
+    # device-side blank-collapse threshold (arXiv:2210.17017). Fixed during
+    # `search` (the candidate space covers only the reference's three
+    # shallow-fusion weights, parameter_search.py:55-62); tune manually.
+    blank_threshold: float = 0.999
 
 
 @dataclass

@@ -83,22 +83,49 @@ class Evaluation(DatasetExecutor):
         return self.flags.step_count or None
 
     def make_decoder(self):
-        """Returns (params, batch) -> (loss, decoded_rows, decoded_lengths)."""
+        """Returns (params, batch) -> (loss, decoded_rows, decoded_lengths).
+
+        With ``--language-model`` the decoder is also kept on ``self._beam``
+        so the run loop can use its pipelined ``eval_batches`` (device
+        forward of batch N+1 overlaps the host beam of batch N).
+        """
+        self._beam = None
         lm_flags = getattr(self.flags, "lm", None)
         if lm_flags is not None and lm_flags.language_model:
             from speecht_tpu.ops.beam import BeamSearchDecoder
 
-            beam = BeamSearchDecoder(
+            self._beam = BeamSearchDecoder(
                 self.model,
                 lm_flags,
                 feature_type=(
                     self.flags.feature_type if self.from_audio else None
                 ),
             )
-            return beam.eval_step
+            return self._beam.eval_step
         if self.from_audio:
             return self._make_audio_eval_step()
         return tstep.make_eval_step(self.model)
+
+    def _result_iterator(self, eval_step, params, loader):
+        """Yields (batch, loss, decoded, lengths), pipelined.
+
+        Beam path: the decoder overlaps device and host work itself. Jitted
+        greedy path: dispatch batch N+1's (async) step before handing batch
+        N's lazy results to the caller, so the host-side metric tracking of
+        batch N runs concurrently with batch N+1's device compute instead of
+        serializing on a per-batch readback.
+        """
+        if self._beam is not None:
+            yield from self._beam.eval_batches(params, loader)
+            return
+        pending = None
+        for batch in loader:
+            out = eval_step(params, batch)
+            if pending is not None:
+                yield pending
+            pending = (batch, *out)
+        if pending is not None:
+            yield pending
 
     def _make_audio_eval_step(self):
         """Fully on-device evaluate: raw audio -> features -> logits -> decode.
@@ -174,10 +201,10 @@ class Evaluation(DatasetExecutor):
         print("Begin evaluation")
         with pmesh.use_mesh(self.mesh):
             loader = self.create_loader()
-            for step, batch in enumerate(loader):
-                avg_loss, decoded, dec_lengths = eval_step(
-                    state.params, batch
-                )
+            results = self._result_iterator(eval_step, state.params, loader)
+            for step, (batch, avg_loss, decoded, dec_lengths) in enumerate(
+                results
+            ):
                 self._track_batch(
                     stats, batch, decoded, dec_lengths, verbose=True
                 )

@@ -56,13 +56,19 @@ def find_lm_files(directory: str) -> tuple[str, str | None]:
 class BeamSearchDecoder:
     """Batch beam-search decoder with optional n-gram LM shallow fusion."""
 
-    def __init__(self, model, lm_config, blank_threshold: float = 0.999,
+    def __init__(self, model, lm_config, blank_threshold: float | None = None,
                  num_threads: int | None = None,
                  feature_type: str | None = None):
         """``feature_type`` switches the device part to the raw-audio front
-        end (AudioBatch inputs, features computed on device)."""
+        end (AudioBatch inputs, features computed on device).
+
+        ``blank_threshold`` defaults to the lm_config's (``--blank-threshold``
+        CLI flag, 0.999): frames whose blank probability exceeds it are
+        dropped on device before the host beam (arXiv:2210.17017)."""
         self.model = model
         self.lm_config = lm_config
+        if blank_threshold is None:
+            blank_threshold = getattr(lm_config, "blank_threshold", 0.999)
         self.blank_threshold = blank_threshold
         self.lm = None
         if lm_config.language_model:
@@ -173,3 +179,30 @@ class BeamSearchDecoder:
             logp, lengths, **weight_overrides
         )
         return avg_loss, decoded, dec_lengths
+
+    def eval_batches(self, params, batches, **weight_overrides):
+        """Pipelined evaluation: yields (batch, loss, decoded, lengths).
+
+        The device forward+collapse of batch N+1 is dispatched (async under
+        jit) *before* the host beam of batch N runs, so the TPU computes the
+        next batch while the host threads beam the current one — instead of
+        the serial fetch-then-beam of :meth:`eval_step`, which leaves the
+        device idle for the whole host beam.
+        """
+        pending = None
+        for batch in batches:
+            device_out = self._device_part(params, batch)  # async dispatch
+            if pending is not None:
+                yield self._finish_batch(pending, weight_overrides)
+            pending = (batch, device_out)
+        if pending is not None:
+            yield self._finish_batch(pending, weight_overrides)
+
+    def _finish_batch(self, pending, weight_overrides):
+        batch, (avg_loss, logp, lengths) = pending
+        logp = np.asarray(logp)  # blocks until this batch's forward is done
+        lengths = np.asarray(lengths)
+        decoded, dec_lengths = self.decode_emissions(
+            logp, lengths, **weight_overrides
+        )
+        return batch, avg_loss, decoded, dec_lengths

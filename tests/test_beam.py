@@ -147,6 +147,63 @@ def emissions_for_text(text, confidence=3.0, smear=None):
     return softmax_logs(logits)
 
 
+class TestPipelinedEvalBatches:
+    def test_matches_sequential_eval_step(self, lm_dir):
+        from speecht_tpu.config import LanguageModelConfig
+        from speecht_tpu.data.pipeline import Batch
+        from speecht_tpu.models.wav2letter import (
+            Wav2Letter,
+            Wav2LetterConfig,
+        )
+        from speecht_tpu.ops.beam import BeamSearchDecoder
+
+        import flax.linen as nn
+        import jax
+        import jax.numpy as jnp
+
+        cfg = Wav2LetterConfig(
+            input_size=8,
+            base_channels=16,
+            wide_channels=32,
+            num_body_layers=2,
+            compute_dtype="float32",
+        )
+        model = Wav2Letter(cfg)
+        params = nn.meta.unbox(
+            model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 32, 8), jnp.float32)
+            )["params"]
+        )
+        rng = np.random.RandomState(7)
+
+        def batch(seed):
+            r = np.random.RandomState(seed)
+            return Batch(
+                features=r.randn(2, 32, 8).astype(np.float32),
+                seq_lengths=np.full(2, 32, np.int32),
+                labels=r.randint(0, 5, (2, 4)).astype(np.int32),
+                label_lengths=np.full(2, 4, np.int32),
+            )
+
+        lm_cfg = LanguageModelConfig(
+            language_model=str(lm_dir), beam_width=8, blank_threshold=0.9
+        )
+        beam = BeamSearchDecoder(model, lm_cfg)
+        assert beam.blank_threshold == 0.9  # picked up from the config
+
+        batches = [batch(s) for s in range(3)]
+        sequential = [beam.eval_step(params, b) for b in batches]
+        pipelined = list(beam.eval_batches(params, iter(batches)))
+        assert len(pipelined) == 3
+        for (b, loss_p, dec_p, len_p), (loss_s, dec_s, len_s), orig in zip(
+            pipelined, sequential, batches
+        ):
+            assert b is orig
+            assert float(loss_p) == pytest.approx(float(loss_s), rel=1e-5)
+            np.testing.assert_array_equal(dec_p, dec_s)
+            np.testing.assert_array_equal(len_p, len_s)
+
+
 class TestShallowFusion:
     def test_valid_word_bonus_steers_decoding(self, lm_dir):
         lm = native.NGramLM(
