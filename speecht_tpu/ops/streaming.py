@@ -3,21 +3,24 @@
 The reference's live mode records a complete silence-gated utterance and
 decodes it in one shot (reference speecht/recording.py:50-69). This module
 adds the low-latency path: audio arrives in chunks, features are extracted
-incrementally, the conv stack runs over a fixed-size rolling window (static
-shape -> one XLA compilation), and the CTC greedy transcript is refreshed
-after every chunk.
+incrementally (O(new frames) per chunk), the conv stack runs over a
+fixed-size rolling window (static shape -> one XLA compilation), and the
+transcript is split into a **committed** part — logit frames whose full
+receptive-field right context has arrived — and a **tentative** tail that
+may still change. Committed text is frozen once emitted and only ever
+grows, so partials never flicker or regress.
 
 Streaming-specific numerics: the offline features normalize per-utterance
 (dB ref = global max, mean/std over the whole utterance —
-preprocessing.py:53,:29), which is non-causal. Here normalization uses
-*running* statistics over all audio seen so far; as the utterance grows the
-statistics converge to the offline ones, and `finalize()` recomputes the
-whole utterance offline for an exact final transcript.
+preprocessing.py:53,:29), which is non-causal. Here each frame's dB value
+is frozen using the running maximum at the time it arrives and mean/std are
+running sums over frozen values; as the utterance grows the statistics
+converge to the offline ones, and `finalize()` recomputes the whole
+utterance offline for an exact final transcript.
 
-The Wav2Letter receptive field is ~194 input frames (48-wide stride-2 conv
-+ 7x 7-wide + 32-wide at rate 2), so logits closer than ~97 frames to the
-window's right edge are tentative; the committed transcript only advances
-over frames with full right context.
+Both feature types are supported incrementally: 'power' (128 log-mel) and
+'mfcc' (13 MFCCs + delta + delta-delta = 39; deltas have an 8-frame
+regression reach, well inside the committed margin).
 """
 
 from __future__ import annotations
@@ -27,8 +30,55 @@ import numpy as np
 from speecht_tpu import vocabulary
 from speecht_tpu.data import features as F
 
-# right-context margin (input frames) before a logit frame is committed
-RIGHT_CONTEXT = 112  # > receptive_field / 2, rounded up to a lane multiple
+# right-context margin (input feature frames) before a logit frame is
+# committed: the Wav2Letter receptive field is ~194 input frames (48-wide
+# stride-2 conv + 7x 7-wide + 32-wide at rate 2), so a logit frame needs
+# ~97 future input frames to be final; 112 adds margin and lane alignment
+RIGHT_CONTEXT = 112
+
+_DB_FLOOR = 80.0  # librosa top_db
+_AMIN = 1e-10
+
+
+def greedy_collapse(best_path: np.ndarray, prev: int = -1) -> list[int]:
+    """Collapse repeats then drop blanks (host-side helper)."""
+    return greedy_collapse_carry(best_path, prev)[0]
+
+
+def greedy_collapse_carry(
+    best_path: np.ndarray, prev: int = -1
+) -> tuple[list[int], int]:
+    """Collapse with carry: returns (ids, last raw char) so a later span can
+    continue the collapse exactly where an earlier (committed) span ended."""
+    out = []
+    for c in best_path:
+        c = int(c)
+        if c != prev and c != vocabulary.BLANK_ID:
+            out.append(c)
+        prev = c
+    return out, prev
+
+
+class _RunningNorm:
+    """Mean-0/std-1 over all scalars seen so far (O(new) updates)."""
+
+    def __init__(self):
+        self.n = 0.0
+        self.total = 0.0
+        self.sumsq = 0.0
+
+    def update(self, values: np.ndarray):
+        self.n += values.size
+        self.total += float(values.sum())
+        self.sumsq += float(np.square(values, dtype=np.float64).sum())
+
+    def apply(self, values: np.ndarray) -> np.ndarray:
+        if self.n == 0:
+            return values
+        mean = self.total / self.n
+        var = max(self.sumsq / self.n - mean * mean, 0.0)
+        std = np.sqrt(var) if var > 0 else 1.0
+        return (values - mean) / std
 
 
 class StreamingRecognizer:
@@ -46,6 +96,14 @@ class StreamingRecognizer:
     ):
         import jax
 
+        if feature_type not in ("power", "mfcc"):
+            raise ValueError(f"unsupported feature type {feature_type!r}")
+        expected = F.feature_size(feature_type)
+        if model.config.input_size != expected:
+            raise ValueError(
+                f"model input_size {model.config.input_size} does not match "
+                f"feature type {feature_type!r} ({expected} dims)"
+            )
         self.model = model
         self.params = params
         self.sample_rate = sample_rate
@@ -54,14 +112,33 @@ class StreamingRecognizer:
         self.hop = hop_length
         self.n_fft = n_fft
         self.input_size = model.config.input_size
-
-        self._audio = np.zeros(0, dtype=np.float32)
-        self._mel_power: np.ndarray | None = None  # [T, n_mels] raw power
-        self._logits: np.ndarray | None = None  # [T//2, C] committed+tail
+        self._dct = F.dct_basis(13, 128)
 
         self._forward = jax.jit(
             lambda p, x: model.apply({"params": p}, x)
         )
+        self.reset()
+
+    def reset(self):
+        self._audio = np.zeros(0, dtype=np.float32)
+        self._mel_power: np.ndarray | None = None  # [T, 128] raw power
+        self._log_mel: np.ndarray | None = None  # [T, 128] 10*log10(power)
+        self._db_max = -np.inf  # running max of _log_mel
+        # power path: frozen (floored, max-referenced) dB values + stats
+        self._db: np.ndarray | None = None
+        self._db_norm = _RunningNorm()
+        # mfcc path: frozen cepstra + per-block stats over stable frames
+        self._mfcc: np.ndarray | None = None  # [T, 13]
+        self._mfcc_norm = _RunningNorm()
+        self._d1_norm = _RunningNorm()
+        self._d2_norm = _RunningNorm()
+        self._d1_stable = 0  # frames whose delta is final (t <= T-5)
+        self._d2_stable = 0  # frames whose delta-delta is final (t <= T-9)
+        # decode state
+        self._logits: np.ndarray | None = None  # [T//2, C]
+        self._frontier = 0  # committed logit frames
+        self._committed_ids: list[int] = []
+        self._committed_prev = -1
 
     # -- incremental feature extraction ------------------------------------
 
@@ -86,39 +163,100 @@ class StreamingRecognizer:
         spec = np.fft.rfft(frames, n=self.n_fft, axis=1)
         power = np.abs(spec) ** 2  # [n_new, 257]
         fb = F.mel_filterbank(self.sample_rate, self.n_fft, n_mels=128)
-        new = power @ fb.T  # [n_new, 128]
-        if self._mel_power is None:
-            self._mel_power = new
-        else:
-            self._mel_power = np.concatenate([self._mel_power, new])
+        new_power = power @ fb.T  # [n_new, 128]
+        new_log = 10.0 * np.log10(np.maximum(_AMIN, new_power))
 
-    def _normalized_features(self) -> np.ndarray:
-        """Running-stat normalized log-mel of everything seen so far."""
-        log_spec = F.power_to_db(self._mel_power, ref=None)
-        return F.normalize(log_spec).astype(np.float32)
+        def grow(buf, new):
+            return new if buf is None else np.concatenate([buf, new])
+
+        self._mel_power = grow(self._mel_power, new_power)
+        self._log_mel = grow(self._log_mel, new_log)
+        self._db_max = max(self._db_max, float(new_log.max()))
+
+        if self.feature_type == "power":
+            # frozen causal value: max-referenced dB with the running max
+            # (ref = global max offline, preprocessing.py:53) and top_db
+            # floor; frozen at arrival so committed frames never shift
+            v = np.maximum(new_log - self._db_max, -_DB_FLOOR).astype(
+                np.float32
+            )
+            self._db = grow(self._db, v)
+            self._db_norm.update(v)
+        else:
+            # MFCC: dB floor is global-max-relative (power_to_db top_db);
+            # frozen with the running max
+            floored = np.maximum(new_log, self._db_max - _DB_FLOOR)
+            mf = (floored @ self._dct.T).astype(np.float32)  # [n_new, 13]
+            self._mfcc = grow(self._mfcc, mf)
+            self._mfcc_norm.update(mf)
+            self._update_stable_delta_stats()
+
+    def _delta_rows(self, s: int, e: int, order: int) -> np.ndarray:
+        """delta(mfcc)[s:e] using real context; edge padding only engages at
+        the true array boundaries (matching the offline F.delta)."""
+        reach = 4 * order
+        T = self._mfcc.shape[0]
+        lo = max(0, s - reach)
+        hi = min(T, e + reach)
+        d = F.delta(self._mfcc[lo:hi].T, order=order).T
+        return d[s - lo : e - lo]
+
+    def _update_stable_delta_stats(self):
+        """Fold newly *final* delta rows into the running block stats.
+
+        d1[t] needs mfcc[t-4:t+5] (final once T >= t+5); d2[t] reaches
+        mfcc[t+8]. Rows nearer the end are tentative (their offline value
+        still depends on future frames via edge padding) and are excluded
+        until they stabilize.
+        """
+        T = self._mfcc.shape[0]
+        new_d1 = max(self._d1_stable, 0), max(T - 4, 0)
+        if new_d1[1] > new_d1[0]:
+            self._d1_norm.update(self._delta_rows(new_d1[0], new_d1[1], 1))
+            self._d1_stable = new_d1[1]
+        new_d2 = max(self._d2_stable, 0), max(T - 8, 0)
+        if new_d2[1] > new_d2[0]:
+            self._d2_norm.update(self._delta_rows(new_d2[0], new_d2[1], 2))
+            self._d2_stable = new_d2[1]
+
+    def _window_features(self) -> np.ndarray:
+        """Normalized features for the last <=window_frames frames, O(W)."""
+        T = (
+            self._db.shape[0]
+            if self.feature_type == "power"
+            else self._mfcc.shape[0]
+        )
+        s = max(0, T - self.window_frames)
+        if self.feature_type == "power":
+            return self._db_norm.apply(self._db[s:]).astype(np.float32)
+        mf = self._mfcc_norm.apply(self._mfcc[s:])
+        d1 = self._d1_norm.apply(self._delta_rows(s, T, 1))
+        d2 = self._d2_norm.apply(self._delta_rows(s, T, 2))
+        return np.concatenate([mf, d1, d2], axis=1).astype(np.float32)
 
     # -- public API ---------------------------------------------------------
 
     def accept_chunk(self, audio_chunk: np.ndarray) -> str:
-        """Append audio; returns the current (partially tentative) text."""
+        """Append audio; returns committed + tentative text."""
         self._audio = np.concatenate(
             [self._audio, np.asarray(audio_chunk, dtype=np.float32)]
         )
         self._extract_new_frames()
-        if self._mel_power is None or self._mel_power.shape[0] < 2:
+        if self._log_mel is None or self._log_mel.shape[0] < 2:
             return ""
 
-        feats = self._normalized_features()  # [T, 128]
-        T = feats.shape[0]
+        feats = self._window_features()  # [Wt, input_size]
+        Wt = feats.shape[0]
         W = self.window_frames
-        window = feats[-W:] if T >= W else np.pad(
-            feats, ((0, W - T), (0, 0))
+        T = self._log_mel.shape[0]
+        window = feats if Wt == W else np.pad(
+            feats, ((0, W - Wt), (0, 0))
         )
         logits = np.asarray(
             self._forward(self.params, window[None])
         )[0]  # [W//2, C]
-        window_start = max(0, T - W)
-        valid_out = min(T - window_start, W) // 2
+        window_start = T - Wt
+        valid_out = Wt // 2
         out_start = window_start // 2
 
         total_out = T // 2
@@ -129,13 +267,37 @@ class StreamingRecognizer:
                 grown[: self._logits.shape[0]] = self._logits
             self._logits = grown
         self._logits[out_start : out_start + valid_out] = logits[:valid_out]
+
+        # advance the commit frontier over logit frames whose full right
+        # context (RIGHT_CONTEXT input frames) has arrived; committed ids
+        # are frozen so the transcript never regresses
+        new_frontier = max(self._frontier, (T - RIGHT_CONTEXT) // 2)
+        new_frontier = min(new_frontier, total_out)
+        if new_frontier > self._frontier:
+            ids, self._committed_prev = greedy_collapse_carry(
+                np.argmax(
+                    self._logits[self._frontier : new_frontier], axis=-1
+                ),
+                self._committed_prev,
+            )
+            self._committed_ids.extend(ids)
+            self._frontier = new_frontier
         return self.partial_text()
 
+    def committed_text(self) -> str:
+        """Transcript over frames with full right context; never regresses."""
+        return vocabulary.ids_to_sentence(self._committed_ids)
+
     def partial_text(self) -> str:
+        """Committed text plus the tentative tail (may still change)."""
         if self._logits is None or not len(self._logits):
-            return ""
-        ids = greedy_collapse(np.argmax(self._logits, axis=-1))
-        return vocabulary.ids_to_sentence(ids)
+            return self.committed_text()
+        total_out = self._logits.shape[0]
+        tentative, _ = greedy_collapse_carry(
+            np.argmax(self._logits[self._frontier : total_out], axis=-1),
+            self._committed_prev,
+        )
+        return vocabulary.ids_to_sentence(self._committed_ids + tentative)
 
     def finalize(self) -> str:
         """Exact offline decode of the full buffered utterance."""
@@ -154,20 +316,3 @@ class StreamingRecognizer:
         logits = np.asarray(self._forward(self.params, padded[None]))[0]
         ids = greedy_collapse(np.argmax(logits[: T // 2], axis=-1))
         return vocabulary.ids_to_sentence(ids)
-
-    def reset(self):
-        self._audio = np.zeros(0, dtype=np.float32)
-        self._mel_power = None
-        self._logits = None
-
-
-def greedy_collapse(best_path: np.ndarray) -> list[int]:
-    """Collapse repeats then drop blanks (host-side helper)."""
-    out = []
-    prev = -1
-    for c in best_path:
-        c = int(c)
-        if c != prev and c != vocabulary.BLANK_ID:
-            out.append(c)
-        prev = c
-    return out

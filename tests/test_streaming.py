@@ -91,7 +91,138 @@ def test_partial_text_is_string_and_reset_works(model_params):
     assert rec.partial_text() == ""
 
 
+def test_committed_text_never_regresses(model_params):
+    """The committed transcript must only ever grow as chunks arrive
+    (RIGHT_CONTEXT gating; the partial tail may flicker, commits may not)."""
+    model, params = model_params
+    sr = 16000
+    audio = speechlike_audio(3.0, sr, seed=2)
+    rec = StreamingRecognizer(model, params, sample_rate=sr)
+    prev_committed = ""
+    committed_grew = False
+    for chunk in np.array_split(audio, 40):
+        partial = rec.accept_chunk(chunk)
+        committed = rec.committed_text()
+        assert committed.startswith(prev_committed), (
+            prev_committed,
+            committed,
+        )
+        assert partial.startswith(committed)
+        if len(committed) > len(prev_committed):
+            committed_grew = True
+        prev_committed = committed
+    # 3 s of audio = 300 frames >> RIGHT_CONTEXT: something must commit
+    assert rec._frontier > 0
+    # committed region stays clear of frames lacking right context
+    from speecht_tpu.ops.streaming import RIGHT_CONTEXT
+
+    T = rec._log_mel.shape[0]
+    assert rec._frontier <= (T - RIGHT_CONTEXT) // 2
+
+
+def test_committed_matches_tentative_prefix_decode(model_params):
+    """Committed ids must equal what decoding the committed logit span
+    yields — i.e. commitment is a freeze, not a different decoder."""
+    model, params = model_params
+    sr = 16000
+    audio = speechlike_audio(2.0, sr, seed=3)
+    rec = StreamingRecognizer(model, params, sample_rate=sr)
+    for chunk in np.array_split(audio, 20):
+        rec.accept_chunk(chunk)
+    ids = greedy_collapse(
+        np.argmax(rec._logits[: rec._frontier], axis=-1)
+    )
+    assert rec.committed_text() == vocabulary.ids_to_sentence(ids)
+
+
+MFCC_TINY = Wav2LetterConfig(
+    input_size=39,
+    base_channels=16,
+    wide_channels=32,
+    num_body_layers=2,
+    compute_dtype="float32",
+)
+
+
+class TestMfccStreaming:
+    @pytest.fixture(scope="class")
+    def mfcc_model_params(self):
+        import flax.linen as nn
+
+        model = Wav2Letter(MFCC_TINY)
+        params = nn.meta.unbox(
+            model.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 39)))[
+                "params"
+            ]
+        )
+        return model, params
+
+    def test_feature_type_model_mismatch_rejected(self, model_params):
+        model, params = model_params  # input_size 128
+        with pytest.raises(ValueError, match="does not match"):
+            StreamingRecognizer(model, params, feature_type="mfcc")
+
+    def test_mfcc_streaming_and_finalize(self, mfcc_model_params):
+        model, params = mfcc_model_params
+        sr = 16000
+        audio = speechlike_audio(2.0, sr, seed=4)
+        rec = StreamingRecognizer(
+            model, params, sample_rate=sr, feature_type="mfcc"
+        )
+        prev = ""
+        for chunk in np.array_split(audio, 15):
+            out = rec.accept_chunk(chunk)
+            assert isinstance(out, str)
+            committed = rec.committed_text()
+            assert committed.startswith(prev)
+            prev = committed
+
+        final = rec.finalize()
+        feats = F.calc_mfccs(audio, sr)
+        T = feats.shape[0]
+        W = rec.window_frames
+        padded = np.pad(
+            feats, ((0, -(-T // W) * W - T), (0, 0))
+        ).astype(np.float32)
+        logits = np.asarray(model.apply({"params": params}, padded[None]))[
+            0
+        ][: T // 2]
+        expected = vocabulary.ids_to_sentence(
+            greedy_collapse(np.argmax(logits, axis=-1))
+        )
+        assert final == expected
+
+    def test_incremental_mfcc_window_tracks_offline(self, mfcc_model_params):
+        """Interior window rows must closely track the offline MFCC features
+        (running stats converge; frozen floor drift stays small)."""
+        model, params = mfcc_model_params
+        sr = 16000
+        audio = speechlike_audio(2.5, sr, seed=5)
+        rec = StreamingRecognizer(
+            model, params, sample_rate=sr, feature_type="mfcc"
+        )
+        for chunk in np.array_split(audio, 10):
+            rec.accept_chunk(chunk)
+        stream_win = rec._window_features()
+        T = rec._mfcc.shape[0]
+        s = max(0, T - rec.window_frames)
+        offline = F.calc_mfccs(audio, sr)[: T][s:]
+        # compare interior rows (tail rows differ by delta edge padding)
+        n = stream_win.shape[0] - 10
+        corr = np.corrcoef(
+            stream_win[:n].ravel(), offline[:n].ravel()
+        )[0, 1]
+        assert corr > 0.98, corr
+
+
 def test_greedy_collapse():
     B = vocabulary.BLANK_ID
     assert greedy_collapse(np.array([0, 0, B, 1, B, B, 1])) == [0, 1, 1]
     assert greedy_collapse(np.array([B, B])) == []
+    # carry: a committed span ending in 'a' suppresses a repeated 'a'
+    from speecht_tpu.ops.streaming import greedy_collapse_carry
+
+    ids, prev = greedy_collapse_carry(np.array([0, 0, B]), prev=-1)
+    assert ids == [0] and prev == B
+    ids2, _ = greedy_collapse_carry(np.array([0, 1]), prev=0)
+    assert ids2 == [1]  # leading repeat of the carried char collapses
