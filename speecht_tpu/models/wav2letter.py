@@ -95,6 +95,26 @@ class _Conv1d(nn.Module):
             (self.features,),
             jnp.float32,
         )
+        # Wide-layer params are explicitly channel-sharded on the model
+        # mesh axis (not left to GSPMD propagation, which may legally keep
+        # them replicated). Column-parallel when the output channels divide
+        # the axis (kernel [W, in, out] + bias shard on out); the final
+        # classifier (out = num_classes) falls back to row-parallel (kernel
+        # sharded on in; XLA inserts the psum over partial products).
+        # constrain() is the identity without an active mesh, so 1-device
+        # code paths are unchanged.
+        if self.wide:
+            mesh = pmesh.get_mesh()
+            msize = mesh.shape.get(pmesh.MODEL_AXIS, 1) if mesh else 1
+            if msize > 1 and self.features % msize == 0:
+                kernel = pmesh.constrain(
+                    kernel, None, None, pmesh.MODEL_AXIS
+                )
+                bias = pmesh.constrain(bias, pmesh.MODEL_AXIS)
+            elif msize > 1 and in_features % msize == 0:
+                kernel = pmesh.constrain(
+                    kernel, None, pmesh.MODEL_AXIS, None
+                )
         # conv in compute_dtype (MXU accumulates f32 internally); no
         # preferred_element_type upcast — its transpose rule would mix f32
         # cotangents with bf16 kernels

@@ -264,15 +264,88 @@ class TestDataParallel:
             np.asarray(p1), np.asarray(p2), rtol=1e-4, atol=1e-6
         )
 
-    def test_tensor_parallel_mesh_runs(self, model_and_state):
+    @staticmethod
+    def _assert_model_sharded(params, model, n_shards):
+        """The wide-layer kernels/biases must actually shard on 'model' —
+        a constrain() that silently dropped the axis would fail here.
+        Column-parallel (out-sharded) for the 2000-wide layers, row-parallel
+        (in-sharded) for the final classifier whose out=num_classes."""
+        from jax.sharding import PartitionSpec
+
+        cfg = model.config
+        wide_from = 1 + cfg.num_body_layers
+        n_layers = len(cfg.layer_specs)
+        for i in range(wide_from, n_layers - 1):
+            name = f"conv_{i}"
+            k = params[name]["kernel"]
+            spec = k.sharding.spec
+            assert spec == PartitionSpec(None, None, "model"), (name, spec)
+            assert not k.sharding.is_fully_replicated
+            # shard truly holds 1/n of the channels
+            shard = k.addressable_shards[0].data
+            assert shard.shape[-1] == k.shape[-1] // n_shards, (
+                name,
+                shard.shape,
+            )
+            b_spec = params[name]["bias"].sharding.spec
+            assert b_spec == PartitionSpec("model"), (name, b_spec)
+        # classifier: row-parallel on the input channels
+        name = f"conv_{n_layers - 1}"
+        k = params[name]["kernel"]
+        # PartitionSpec trims trailing Nones: (None,'model') == dims (kw, in)
+        assert k.sharding.spec == PartitionSpec(None, "model"), (
+            name,
+            k.sharding.spec,
+        )
+        assert (
+            k.addressable_shards[0].data.shape[1] == k.shape[1] // n_shards
+        )
+
+    def test_tensor_parallel_matches_single_device(self, model_and_state):
+        """dp4 x tp2 train step must produce the same loss AND updated params
+        as single-device execution, with the wide layers actually sharded."""
         h, tx, state = model_and_state
         train_step = h.train_step
-        batch = tiny_batch(np.random.RandomState(5), B=4)
+        batch = tiny_batch(np.random.RandomState(5), B=8)
+
+        s1, m1 = train_step(state, jax.device_put(batch))
+
         mesh = pmesh.make_mesh(data_parallel=4, model_parallel=2)
         with pmesh.use_mesh(mesh):
             sharded = pmesh.shard_batch(batch)
-            s2, m2 = train_step(state, sharded)
-        assert np.isfinite(float(m2["loss"]))
+            s2, m2 = train_step(h.fresh_state(), sharded)
+
+        assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-5)
+        for p1, p2 in zip(
+            jax.tree_util.tree_leaves(s1.params),
+            jax.tree_util.tree_leaves(s2.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(p1), np.asarray(p2), rtol=1e-4, atol=1e-6
+            )
+        self._assert_model_sharded(s2.params, h.model, n_shards=2)
+
+    def test_pure_tensor_parallel_8way(self, model_and_state):
+        """model_parallel=8 (no data axis): equivalence + 8-way sharding."""
+        h, tx, state = model_and_state
+        train_step = h.train_step
+        batch = tiny_batch(np.random.RandomState(6), B=4)
+
+        s1, m1 = train_step(state, jax.device_put(batch))
+
+        mesh = pmesh.make_mesh(data_parallel=1, model_parallel=8)
+        with pmesh.use_mesh(mesh):
+            sharded = pmesh.shard_batch(batch)
+            s2, m2 = train_step(h.fresh_state(), sharded)
+
+        assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-5)
+        p1 = jax.tree_util.tree_leaves(s1.params)[0]
+        p2 = jax.tree_util.tree_leaves(s2.params)[0]
+        np.testing.assert_allclose(
+            np.asarray(p1), np.asarray(p2), rtol=1e-4, atol=1e-6
+        )
+        # TINY wide_channels=32 divides 8: all wide layers shard 8-way
+        self._assert_model_sharded(s2.params, h.model, n_shards=8)
 
 
 class TestCheckpoint:
