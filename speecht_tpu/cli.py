@@ -171,6 +171,12 @@ class CLI:
             "(directory of convolution_layer_*/filters.npy files) instead "
             "of a checkpoint.",
         )
+        p.add_argument(
+            "--seq-parallel", dest="seq_parallel", type=int, default=0,
+            help="Shard the time axis of the conv stack over this many "
+            "devices (halo-exchange sequence parallelism) — for "
+            "utterances too long for one chip.",
+        )
         self._add_language_model_arguments(p)
         p.set_defaults(dataset="test", should_save=True)
 

@@ -92,6 +92,7 @@ class EvalConfig(BaseConfig):
     dataset: str = "test"  # 'dev' or 'test'
     should_save: bool = True
     step_count: int = 0
+    seq_parallel: int = 0  # time-shard the conv stack over N devices
     lm: LanguageModelConfig = field(default_factory=LanguageModelConfig)
 
 

@@ -37,6 +37,31 @@ class Evaluation(DatasetExecutor):
     def from_audio(self) -> bool:
         return bool(getattr(self.flags, "from_audio", False))
 
+    @property
+    def seq_parallel(self) -> int:
+        return int(getattr(self.flags, "seq_parallel", 0) or 0)
+
+    def create_mesh(self):
+        if self.seq_parallel > 1:
+            n = self.seq_parallel
+            if self.from_audio or getattr(
+                self.flags, "lm", None
+            ) and self.flags.lm.language_model:
+                raise ValueError(
+                    "--seq-parallel combines only with the cached-feature "
+                    "greedy evaluate (not --from-audio/--language-model)"
+                )
+            # slabs must cover the widest kernel (48): pad time buckets to
+            # at least 96 frames per shard
+            min_bucket = 96 * n
+            if self.flags.bucket_step < min_bucket:
+                print(
+                    f"seq-parallel {n}: raising --bucket-step to {min_bucket}"
+                )
+                self.flags.bucket_step = min_bucket
+            return pmesh.make_mesh(data_parallel=1, model_parallel=n)
+        return super().create_mesh()
+
     def determine_input_size(self) -> int:
         if self.from_audio:
             from speecht_tpu.data.features import feature_size
@@ -104,6 +129,10 @@ class Evaluation(DatasetExecutor):
             return self._beam.eval_step
         if self.from_audio:
             return self._make_audio_eval_step()
+        if self.seq_parallel > 1:
+            from speecht_tpu.parallel.seq_parallel import make_sp_eval_step
+
+            return make_sp_eval_step(self.model, self.mesh)
         return tstep.make_eval_step(self.model)
 
     def _result_iterator(self, eval_step, params, loader):

@@ -19,11 +19,12 @@ Correctness notes:
 - layer widths are 48(s2), 7x7, 32, 1, 1 (reference speech_model.py:275-
   295); the 1-wide layers need no exchange at all.
 
-This module is the *forward/inference* SP path (long-utterance evaluate and
-streaming); training with SP additionally needs the transposed halo
-exchange in the backward pass, which jax derives automatically from
-``shard_map`` when ``check_rep=False`` ... the jitted loss below is
-differentiable end to end.
+The module provides the full SP seam: :func:`make_sp_forward` (inference
+forward), :func:`make_sp_loss_fn` (CTC loss over the time-sharded forward —
+differentiable end to end: jax derives the transposed halo exchange for the
+backward pass from ``shard_map``), :func:`make_sp_eval_step` (loss + greedy
+decode, the ``evaluate --seq-parallel N`` path), and
+:func:`make_sp_train_step` (clipped-Adam update on SP gradients).
 """
 
 from __future__ import annotations
@@ -94,6 +95,137 @@ def sp_forward_local(params, x_local, config, axis_name: str):
     return y.astype(jnp.float32)
 
 
+def validate_sp_length(T: int, n: int, config) -> None:
+    """Shape preconditions for an n-way time shard (raises ValueError)."""
+    max_width = max(w for w, _s, _f, _r in config.layer_specs)
+    if T % (2 * n):
+        raise ValueError(
+            f"time length {T} must be divisible by 2*{n} for SP"
+        )
+    # halos come from the immediate neighbor only: the per-device slab
+    # (after the stride-2 layer it halves) must cover the widest kernel
+    if T // (2 * n) < max_width:
+        raise ValueError(
+            f"local slab {T // n} frames is too short for the widest "
+            f"kernel ({max_width}); need T >= {2 * n * max_width}"
+        )
+
+
+def _sp_logits(params, features, config, mesh, seq_axis):
+    """Time-sharded forward inside a jit: [B, T, F] -> logits [B, T//2, C]."""
+    features = jax.lax.with_sharding_constraint(
+        features, NamedSharding(mesh, P(None, seq_axis, None))
+    )
+    return jax.shard_map(
+        functools.partial(
+            sp_forward_local, config=config, axis_name=seq_axis
+        ),
+        mesh=mesh,
+        in_specs=(P(), P(None, seq_axis, None)),
+        out_specs=P(None, seq_axis, None),
+        check_vma=False,
+    )(params, features)
+
+
+def make_sp_loss_fn(model: Wav2Letter, mesh: Mesh, seq_axis: str = "model"):
+    """(params, batch) -> (avg CTC loss, logits), time-sharded forward.
+
+    Same masking semantics as train.step.make_loss_fn (padded rows and
+    CTC-infeasible rows excluded); the CTC recurrence consumes the gathered
+    logits (XLA inserts the all-gather — CTC is sequential in time, so a
+    time-sharded alpha/beta would serialize the mesh anyway). Differentiable:
+    the backward pass derives the transposed halo exchange automatically.
+    """
+    import jax.numpy as jnp
+
+    from speecht_tpu.models.wav2letter import output_length
+    from speecht_tpu.ops import ctc_pallas
+
+    config = model.config
+
+    def loss_fn(params, batch):
+        logits = _sp_logits(params, batch.features, config, mesh, seq_axis)
+        logit_lengths = output_length(batch.seq_lengths)
+        losses = ctc_pallas.ctc_loss(
+            logits, logit_lengths, batch.labels, batch.label_lengths
+        )
+        real = (batch.seq_lengths > 0).astype(jnp.float32)
+        real = real * (losses < 1e29).astype(jnp.float32)
+        avg_loss = jnp.sum(losses * real) / jnp.maximum(jnp.sum(real), 1.0)
+        return avg_loss, logits
+
+    return loss_fn
+
+
+def make_sp_eval_step(model: Wav2Letter, mesh: Mesh, seq_axis: str = "model"):
+    """Jitted (params, batch) -> (loss, decoded, decoded_lengths) with the
+    conv stack sharded over the time axis — long-utterance `evaluate
+    --seq-parallel N` (capability the reference lacks; it *discards* long
+    utterances, preprocessing.py:272-276)."""
+    import jax.numpy as jnp
+
+    from speecht_tpu.models.wav2letter import output_length
+    from speecht_tpu.ops import decode
+
+    loss_fn = make_sp_loss_fn(model, mesh, seq_axis)
+    n = mesh.shape[seq_axis]
+    config = model.config
+
+    @jax.jit
+    def step(params, batch):
+        avg_loss, logits = loss_fn(params, batch)
+        logit_lengths = output_length(batch.seq_lengths)
+        decoded, dec_lengths, _scores = decode.greedy_decode(
+            logits, logit_lengths
+        )
+        dec_lengths = jnp.where(batch.seq_lengths > 0, dec_lengths, 0)
+        return avg_loss, decoded, dec_lengths
+
+    def run(params, batch):
+        validate_sp_length(batch.features.shape[1], n, config)
+        return step(params, batch)
+
+    return run
+
+
+def make_sp_train_step(
+    model: Wav2Letter, tx, mesh: Mesh, seq_axis: str = "model"
+):
+    """Jitted donated (state, batch) -> (state, metrics) on SP gradients.
+
+    Mirrors train.step.make_train_step (clip -> Adam -> lr-scaled update)
+    with the forward/backward time-sharded over ``seq_axis``.
+    """
+    import optax
+
+    from speecht_tpu.train.state import TrainState
+
+    loss_fn = make_sp_loss_fn(model, mesh, seq_axis)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, batch):
+        (avg_loss, _logits), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree_util.tree_map(
+            lambda u: -state.learning_rate * u, updates
+        )
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": avg_loss, "grad_norm": optax.global_norm(grads)}
+        return (
+            TrainState(
+                params=params,
+                opt_state=opt_state,
+                step=state.step + 1,
+                learning_rate=state.learning_rate,
+            ),
+            metrics,
+        )
+
+    return train_step
+
+
 def make_sp_forward(model: Wav2Letter, mesh: Mesh, seq_axis: str = "model"):
     """Jitted sequence-parallel forward: [B, T, F] -> [B, T//2, C].
 
@@ -115,22 +247,9 @@ def make_sp_forward(model: Wav2Letter, mesh: Mesh, seq_axis: str = "model"):
         )(params, features)
         return out
 
-    max_width = max(w for w, _s, _f, _r in config.layer_specs)
-
     def run(params, features):
         n = mesh.shape[seq_axis]
-        T = features.shape[1]
-        if T % (2 * n):
-            raise ValueError(
-                f"time length {T} must be divisible by 2*{n} for SP"
-            )
-        # halos come from the immediate neighbor only: the per-device slab
-        # (after the stride-2 layer it halves) must cover the widest kernel
-        if T // (2 * n) < max_width:
-            raise ValueError(
-                f"local slab {T // n} frames is too short for the widest "
-                f"kernel ({max_width}); need T >= {2 * n * max_width}"
-            )
+        validate_sp_length(features.shape[1], n, config)
         features = jax.device_put(
             features, NamedSharding(mesh, P(None, seq_axis, None))
         )

@@ -217,6 +217,29 @@ def test_evaluate_from_audio_matches_cached(workdir, capsys):
     assert decoded_line(audio_out) == decoded_line(cached_out)
 
 
+def test_evaluate_seq_parallel_matches_dense(workdir, capsys):
+    # long-utterance SP evaluate through the CLI: 2-way time shard must
+    # reproduce the dense greedy decode exactly
+    stats_dense = run_cli(
+        workdir, "evaluate", "--test", "--step-count", "1", "--no-save"
+    )
+    dense_out = capsys.readouterr().out
+    stats_sp = run_cli(
+        workdir, "evaluate", "--test", "--step-count", "1", "--no-save",
+        "--seq-parallel", "2",
+    )
+    sp_out = capsys.readouterr().out
+    assert stats_sp.decodings_counter == 1
+    assert stats_sp.letter_error_rate == stats_dense.letter_error_rate
+
+    def decoded_line(out):
+        return next(
+            line for line in out.splitlines() if line.startswith("decoded:")
+        )
+
+    assert decoded_line(sp_out) == decoded_line(dense_out)
+
+
 def test_mfcc_pipeline(workdir, capsys):
     # the 39-dim mfcc path end to end: preprocess -> train 1 step -> evaluate
     run_cli(workdir, "preprocess", "--num-workers", "1", "--mfcc")

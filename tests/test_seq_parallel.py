@@ -78,3 +78,85 @@ def test_sp_forward_is_differentiable(model_params):
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
+
+
+def _sp_batch(seed, B=2, T=192, L=4):
+    from speecht_tpu.data.pipeline import Batch
+
+    rng = np.random.RandomState(seed)
+    return Batch(
+        features=rng.randn(B, T, TINY.input_size).astype(np.float32),
+        seq_lengths=np.full(B, T, np.int32),
+        labels=rng.randint(0, 5, (B, L)).astype(np.int32),
+        label_lengths=np.full(B, L, np.int32),
+    )
+
+
+@pytest.mark.parametrize("n_seq", [2, 4])
+def test_sp_gradients_match_dense(model_params, n_seq):
+    """SP CTC-loss gradients must EQUAL the dense gradients (not merely be
+    finite) — the transposed halo exchange has to round-trip exactly."""
+    from speecht_tpu.parallel.seq_parallel import make_sp_loss_fn
+    from speecht_tpu.train import step as tstep
+
+    model, params = model_params
+    mesh = pmesh.make_mesh(data_parallel=1, model_parallel=n_seq)
+    batch = _sp_batch(2, T=96 * n_seq)
+
+    dense_loss = tstep.make_loss_fn(model)
+    sp_loss = make_sp_loss_fn(model, mesh)
+
+    l_d, g_d = jax.value_and_grad(lambda p: dense_loss(p, batch)[0])(params)
+    l_s, g_s = jax.value_and_grad(lambda p: sp_loss(p, batch)[0])(params)
+    assert float(l_d) == pytest.approx(float(l_s), rel=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_d), jax.tree_util.tree_leaves(g_s)
+    ):
+        # f32 accumulation-order noise across shards: abs tolerance 1e-4
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+        )
+
+
+def test_sp_eval_step_matches_dense(model_params):
+    from speecht_tpu.parallel.seq_parallel import make_sp_eval_step
+    from speecht_tpu.train import step as tstep
+
+    model, params = model_params
+    mesh = pmesh.make_mesh(data_parallel=1, model_parallel=4)
+    batch = _sp_batch(3, T=96 * 4)
+
+    dense_step = tstep.make_eval_step(model)
+    l_d, dec_d, len_d = dense_step(params, batch)
+    sp_step = make_sp_eval_step(model, mesh)
+    l_s, dec_s, len_s = sp_step(params, batch)
+
+    assert float(l_d) == pytest.approx(float(l_s), rel=1e-5)
+    np.testing.assert_array_equal(np.asarray(dec_d), np.asarray(dec_s))
+    np.testing.assert_array_equal(np.asarray(len_d), np.asarray(len_s))
+
+
+def test_sp_train_step_matches_dense(model_params):
+    from speecht_tpu.parallel.seq_parallel import make_sp_train_step
+    from speecht_tpu.train import step as tstep
+    from speecht_tpu.train.state import create_train_state, make_optimizer
+
+    model, params = model_params
+    mesh = pmesh.make_mesh(data_parallel=1, model_parallel=2)
+    tx = make_optimizer(max_gradient_norm=5.0, epsilon=1e-3)
+    batch = _sp_batch(4, T=192)
+
+    def fresh():
+        p = jax.tree_util.tree_map(jnp.array, params)
+        return create_train_state(p, tx, learning_rate=3e-3)
+
+    s_d, m_d = tstep.make_train_step(model, tx)(fresh(), batch)
+    s_s, m_s = make_sp_train_step(model, tx, mesh)(fresh(), batch)
+    assert float(m_d["loss"]) == pytest.approx(float(m_s["loss"]), rel=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_d.params),
+        jax.tree_util.tree_leaves(s_s.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
