@@ -1,54 +1,114 @@
-"""Benchmark: LibriSpeech-shaped evaluate throughput (utterances/sec/chip).
+"""Benchmark: the five north-star workloads (BASELINE.json configs).
 
-Measures the framework's inference path — Wav2Letter forward (bf16 on the
-MXU) + greedy CTC decode — on batches shaped like LibriSpeech test-clean
-evaluation (batch 64, ~7.4 s utterances -> 1024 feature frames @ hop 160,
-128 mel bins), the workload of `speecht-cli evaluate` (reference
-evaluation.py) whose features come precomputed from the offline cache.
+Headline metric (JSON top level, unchanged across rounds): greedy-decode
+evaluate throughput in utterances/sec/chip on LibriSpeech-test-clean-shaped
+batches (batch 64, ~7.4 s utterances -> 1024 feature frames @ hop 160,
+128 mel bins) — the workload of `speecht-cli evaluate` with cached features
+(reference evaluation.py).
+
+``extra`` carries one object per remaining north-star config:
+- train_step: sustained accumulating train-step throughput + MFU at
+  B64/T512 (the `speecht-cli train` hot loop: dispatch-only, device-side
+  metric accumulation, one readback per interval)
+- beam_lm_eval: pipelined beam-search + n-gram LM evaluate (device
+  blank-collapse + host C++ prefix beam overlap)
+- from_audio_eval: raw audio -> on-device features -> forward -> greedy
+  (`evaluate --from-audio`)
+- streaming: per-chunk latency of the incremental recognizer
+  (`record --streaming`), 256 ms audio chunks
 
 Baseline: the reference publishes NO throughput numbers (BASELINE.md). The
-``vs_baseline`` here uses a documented compute-ceiling estimate for the
+``vs_baseline`` uses a documented compute-ceiling estimate for the
 reference's hardware: a Titan X (~6.1 TFLOP/s fp32) running the same
 ~25 GFLOP/utterance conv stack at a generous 30% MFU ≈ 72 utt/s. The
 north-star target in BASELINE.json (>=100x a TF1 CPU eval) is far below
 this bar, so vs_baseline > 1.0 already implies the north star.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Device batches are pre-staged: in production the PrefetchLoader overlaps
+host->device transfer with compute; the dev tunnel here moves ~44 MB/s and
+would otherwise measure the tunnel, not the chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
 BASELINE_UTT_PER_SEC = 72.0  # estimated Titan X ceiling (see docstring)
 
-BATCH = 64
-FRAMES = 1024  # ~7.4 s at 22050 Hz / hop 160
+# BENCH_SMOKE=1 shrinks everything for a CPU correctness pass of the
+# harness itself; real numbers come from the default shapes on the chip
+_SMOKE = bool(int(os.environ.get("BENCH_SMOKE", "0")))
+BATCH = 4 if _SMOKE else 64
+FRAMES = 128 if _SMOKE else 1024  # ~7.4 s at 22050 Hz / hop 160
 INPUT_SIZE = 128
+_ITERS = 2 if _SMOKE else 15
+_WINDOWS = 2 if _SMOKE else 5
+
+# bf16 peak TFLOP/s per chip by device kind (MFU denominator)
+PEAK_BF16_TFLOPS = {
+    "TPU v4": 275.0,
+    "TPU v5": 459.0,  # v5p
+    "TPU v5 lite": 197.0,  # v5e
+    "TPU v5e": 197.0,
+    "TPU v6 lite": 918.0,  # v6e / Trillium
+    "TPU v6e": 918.0,
+}
+DEFAULT_PEAK_TFLOPS = 197.0
 
 
-def main():
-    from speecht_tpu import runtime
+def _median_rate(fn, sync, per_iter_units, iters=_ITERS, windows=_WINDOWS, warmup=3):
+    """Median units/sec over several timed windows (tunnel jitter)."""
+    out = None
+    for _ in range(warmup):
+        out = fn()
+    sync(out)
+    rates = []
+    for _ in range(windows):
+        start = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+        sync(out)  # data dependency on the final step drains the queue
+        rates.append(per_iter_units * iters / (time.perf_counter() - start))
+    return float(np.median(rates))
 
-    runtime.enable_compilation_cache()
+
+def _forward_flops(config, frames: int) -> float:
+    """Analytic conv-stack FLOPs for one utterance of `frames` input frames."""
+    flops = 0.0
+    t = frames
+    cin = config.input_size
+    for width, stride, cout, _relu in config.layer_specs:
+        t = t // stride
+        flops += 2.0 * t * width * cin * cout
+        cin = cout
+    return flops
+
+
+def _init(model, rng_seed=0, example_t=64):
     import jax
     import jax.numpy as jnp
     import flax.linen as nn
 
-    from speecht_tpu.models.wav2letter import Wav2Letter, Wav2LetterConfig
+    return nn.meta.unbox(
+        model.init(
+            jax.random.PRNGKey(rng_seed),
+            jnp.zeros((1, example_t, model.config.input_size), jnp.float32),
+        )["params"]
+    )
+
+
+def bench_greedy_eval(model, params):
+    import jax
+    import jax.numpy as jnp
+
     from speecht_tpu.models.wav2letter import output_length
     from speecht_tpu.ops import decode
-
-    model = Wav2Letter(Wav2LetterConfig(input_size=INPUT_SIZE))
-    rng = jax.random.PRNGKey(0)
-    params = nn.meta.unbox(
-        model.init(rng, jnp.zeros((1, FRAMES, INPUT_SIZE), jnp.float32))[
-            "params"
-        ]
-    )
 
     @jax.jit
     def eval_step(params, features, seq_lengths):
@@ -62,25 +122,270 @@ def main():
         rng_np.randn(BATCH, FRAMES, INPUT_SIZE).astype(np.float32)
     )
     seq_lengths = jnp.full((BATCH,), FRAMES, jnp.int32)
+
+    rate = _median_rate(
+        lambda: eval_step(params, features, seq_lengths),
+        lambda out: np.asarray(out[1]),
+        per_iter_units=BATCH,
+    )
+    return rate
+
+
+def bench_train_step(model, params, peak_tflops):
+    """Sustained accumulating train step at B64/T512 (north-star train)."""
+    import jax
+    import jax.numpy as jnp
+
+    from speecht_tpu import vocabulary
+    from speecht_tpu.data.pipeline import Batch
+    from speecht_tpu.train import step as tstep
+    from speecht_tpu.train.state import create_train_state, make_optimizer
+
+    T, S = (128, 32) if _SMOKE else (512, 128)
+    tx = make_optimizer(max_gradient_norm=5.0, epsilon=1e-3)
+    state = create_train_state(
+        jax.tree_util.tree_map(jnp.array, params), tx, learning_rate=1e-4
+    )
+    train_step = tstep.make_train_step_acc(model, tx)
+
+    rng_np = np.random.RandomState(1)
+    # rotate over 4 pre-staged device batches (production overlaps H2D via
+    # the prefetch loader; a fresh 8 MB transfer per step over the dev
+    # tunnel would measure the tunnel, not the chip)
+    batches = [
+        jax.device_put(
+            Batch(
+                features=rng_np.randn(BATCH, T, INPUT_SIZE).astype(
+                    np.float32
+                ),
+                seq_lengths=np.full(BATCH, T, np.int32),
+                labels=rng_np.randint(0, vocabulary.SIZE, (BATCH, S)).astype(
+                    np.int32
+                ),
+                label_lengths=np.full(BATCH, S - 28, np.int32),
+            )
+        )
+        for _ in range(4)
+    ]
+
+    holder = {"state": state, "acc": tstep.init_metrics_acc(), "i": 0}
+
+    def one():
+        b = batches[holder["i"] % len(batches)]
+        holder["i"] += 1
+        holder["state"], holder["acc"] = train_step(
+            holder["state"], holder["acc"], b
+        )
+        return holder["acc"]
+
+    def sync(acc):
+        np.asarray(acc["loss_sum"])
+
+    rate = _median_rate(one, sync, per_iter_units=BATCH, iters=_ITERS if _SMOKE else 20)
+    ms_per_step = 1000.0 * BATCH / rate
+    # fwd + bwd ~= 3x forward FLOPs
+    train_flops = 3.0 * _forward_flops(model.config, T) * BATCH
+    mfu = (rate / BATCH) * train_flops / (peak_tflops * 1e12)
+    return {
+        "utt_per_sec": round(rate, 2),
+        "ms_per_step": round(ms_per_step, 2),
+        "mfu_pct": round(100.0 * mfu, 1),
+        "shape": f"B{BATCH}xT{T}",
+    }
+
+
+_TINY_ARPA = """\\data\\
+ngram 1=5
+ngram 2=2
+
+\\1-grams:
+-1.0\t<unk>
+-0.5\t<s>\t-0.4
+-0.6\t</s>
+-0.9\tthe\t-0.3
+-1.2\tcat\t-0.2
+
+\\2-grams:
+-0.3\tthe cat
+-0.25\t<s> the
+
+\\end\\
+"""
+
+
+def bench_beam_lm_eval(model, params):
+    """Pipelined beam+LM evaluate on blank-dominated (trained-like) logits."""
+    import os
+    import tempfile
+
+    import jax
+
+    from speecht_tpu import vocabulary
+    from speecht_tpu.config import LanguageModelConfig
+    from speecht_tpu.data.pipeline import Batch
+    from speecht_tpu.ops.beam import BeamSearchDecoder
+
+    T, S = (128, 32) if _SMOKE else (512, 128)
+    # Emulate a trained CTC model's peaky, blank-dominated emissions with
+    # the untrained network: bias the classifier toward blank, then scale
+    # the input so per-frame activation variation pushes a minority of
+    # frames over/under the 0.999 collapse threshold. Calibrated so the
+    # device blank collapse keeps a realistic 10-40% of frames.
+    params = jax.tree_util.tree_map(np.asarray, params)
+    last = f"conv_{len(model.config.layer_specs) - 1}"
+    params[last]["bias"] = params[last]["bias"].copy()
+    params[last]["bias"][vocabulary.BLANK_ID] += 12.0
     params = jax.device_put(params)
 
-    # warmup (compile + first executions); sync via host readback — on the
-    # remote-tunneled TPU backend block_until_ready alone does not
-    # guarantee execution completed
-    for _ in range(3):
-        out = eval_step(params, features, seq_lengths)
-    np.asarray(out[1])
+    rng_np = np.random.RandomState(2)
 
-    # median of several windows: the dev tunnel adds run-to-run jitter
-    iters = 15
-    rates = []
-    for _window in range(5):
+    def make_batch(scale):
+        return Batch(
+            features=(
+                scale * rng_np.randn(BATCH, T, INPUT_SIZE)
+            ).astype(np.float32),
+            seq_lengths=np.full(BATCH, T, np.int32),
+            labels=rng_np.randint(0, vocabulary.SIZE, (BATCH, S)).astype(
+                np.int32
+            ),
+            label_lengths=np.full(BATCH, S - 28, np.int32),
+        )
+
+    with tempfile.TemporaryDirectory() as lm_dir:
+        with open(os.path.join(lm_dir, "model.arpa"), "w") as f:
+            f.write(_TINY_ARPA)
+        beam = BeamSearchDecoder(
+            model,
+            LanguageModelConfig(language_model=lm_dir, beam_width=100),
+        )
+
+        # calibrate the input scale for a trained-like collapse ratio
+        scale, kept_frac = 1.0, 1.0
+        for candidate in (30.0, 100.0, 300.0, 1000.0, 3000.0):
+            probe = jax.device_put(make_batch(candidate))
+            _loss, _logp, lengths = beam._device_part(params, probe)
+            kept = float(np.mean(np.asarray(lengths)) / (T // 2))
+            scale, kept_frac = candidate, kept
+            if 0.1 <= kept <= 0.4:
+                break
+
+        batches = [jax.device_put(make_batch(scale)) for _ in range(4)]
+        # warmup (compile + thread pool spin-up)
+        list(beam.eval_batches(params, iter(batches[:2])))
+
+        n_batches = 2 if _SMOKE else 8
         start = time.perf_counter()
-        for _ in range(iters):
-            out = eval_step(params, features, seq_lengths)
-        np.asarray(out[1])  # data dependency on the final step drains queue
-        rates.append(BATCH * iters / (time.perf_counter() - start))
-    utt_per_sec = float(np.median(rates))
+        results = list(
+            beam.eval_batches(
+                params, (batches[i % 4] for i in range(n_batches))
+            )
+        )
+        elapsed = time.perf_counter() - start
+        assert len(results) == n_batches
+        return {
+            "utt_per_sec": round(BATCH * n_batches / elapsed, 2),
+            "beam_width": 100,
+            "frames_kept_after_collapse": round(kept_frac, 3),
+            "host_cores": os.cpu_count(),
+            "shape": f"B{BATCH}xT{T}",
+        }
+
+
+def bench_from_audio_eval(model, params):
+    """Raw audio -> on-device front end -> forward -> greedy decode."""
+    import jax
+    import jax.numpy as jnp
+
+    from speecht_tpu.data import features_tpu as FT
+    from speecht_tpu.models.wav2letter import output_length
+    from speecht_tpu.ops import decode
+
+    n_samples = (FRAMES - 1) * 160  # -> FRAMES feature frames at hop 160
+
+    @jax.jit
+    def eval_step(params, audio, num_samples):
+        feats, frame_lengths = FT.batch_power_spectrogram(audio, num_samples)
+        logits = model.apply({"params": params}, feats)
+        decoded, lengths, _ = decode.greedy_decode(
+            logits, output_length(frame_lengths)
+        )
+        return decoded, lengths
+
+    rng_np = np.random.RandomState(3)
+    audio = jnp.asarray(
+        (rng_np.randn(BATCH, n_samples) * 0.1).astype(np.float32)
+    )
+    num_samples = jnp.full((BATCH,), n_samples, jnp.int32)
+
+    rate = _median_rate(
+        lambda: eval_step(params, audio, num_samples),
+        lambda out: np.asarray(out[1]),
+        per_iter_units=BATCH,
+        iters=10,
+    )
+    return {
+        "utt_per_sec": round(rate, 2),
+        "shape": f"B{BATCH}x{n_samples}samples",
+    }
+
+
+def bench_streaming(model, params):
+    """Per-chunk latency of the incremental recognizer (256 ms chunks)."""
+    from speecht_tpu.ops.streaming import StreamingRecognizer
+
+    sr, chunk = 16000, 4096  # 256 ms per chunk
+    rec = StreamingRecognizer(model, params, sample_rate=sr)
+    rng_np = np.random.RandomState(4)
+    audio = (rng_np.randn(sr * (3 if _SMOKE else 12)) * 0.1).astype(np.float32)
+    chunks = [
+        audio[i : i + chunk] for i in range(0, len(audio) - chunk, chunk)
+    ]
+    # warmup: first chunks trigger the window compile
+    for c in chunks[:5]:
+        rec.accept_chunk(c)
+    times = []
+    for c in chunks[5 : 10 if _SMOKE else 35]:
+        start = time.perf_counter()
+        rec.accept_chunk(c)
+        times.append(time.perf_counter() - start)
+    p50 = float(np.median(times)) * 1000.0
+    p95 = float(np.percentile(times, 95)) * 1000.0
+    return {
+        "ms_per_chunk_p50": round(p50, 2),
+        "ms_per_chunk_p95": round(p95, 2),
+        "chunk_audio_ms": 1000.0 * chunk / sr,
+        "real_time_factor": round((1000.0 * chunk / sr) / p50, 2),
+    }
+
+
+def main():
+    from speecht_tpu import runtime
+
+    runtime.enable_compilation_cache()
+    import jax
+
+    from speecht_tpu.models.wav2letter import Wav2Letter, Wav2LetterConfig
+
+    kind = jax.devices()[0].device_kind
+    peak = PEAK_BF16_TFLOPS.get(kind, DEFAULT_PEAK_TFLOPS)
+
+    model = Wav2Letter(Wav2LetterConfig(input_size=INPUT_SIZE))
+    params = jax.device_put(_init(model))
+
+    utt_per_sec = bench_greedy_eval(model, params)
+
+    extra = {"device_kind": kind, "peak_bf16_tflops": peak}
+    for name, fn in (
+        ("train_step", lambda: bench_train_step(model, params, peak)),
+        ("beam_lm_eval", lambda: bench_beam_lm_eval(model, params)),
+        ("from_audio_eval", lambda: bench_from_audio_eval(model, params)),
+        ("streaming", lambda: bench_streaming(model, params)),
+    ):
+        try:
+            extra[name] = fn()
+        except Exception as e:  # a sub-bench must not kill the headline
+            extra[name] = {"error": f"{type(e).__name__}: {e}"}
+
     print(
         json.dumps(
             {
@@ -88,6 +393,7 @@ def main():
                 "value": round(utt_per_sec, 2),
                 "unit": "utterances/sec/chip (batch 64, 1024 frames, greedy decode)",
                 "vs_baseline": round(utt_per_sec / BASELINE_UTT_PER_SEC, 2),
+                "extra": extra,
             }
         )
     )

@@ -37,9 +37,75 @@ def _dct_matrix(n_mfcc: int, n_mels: int) -> np.ndarray:
     return host_features.dct_basis(n_mfcc, n_mels).T.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=4)
+def _windowed_dft_matrix(n_fft: int) -> np.ndarray:
+    """[n_fft, 2*(1 + n_fft//2)] Hann-windowed real-DFT basis (cos | sin).
+
+    TPU has no FFT hardware and XLA's generic FFT lowering is slow
+    (measured 414 ms for a batch-64 x 1024-frame front end vs ~3 ms as a
+    matmul on the MXU). The windowed DFT as one matmul yields the same
+    power spectrum: power[k] = (x.w_cos_k)^2 + (x.w_sin_k)^2 — the Hann
+    window is folded into the basis so framing -> spectrum is a single
+    [B*T, n_fft] @ [n_fft, n_fft+2] product.
+    """
+    n_bins = 1 + n_fft // 2
+    ang = (
+        2.0
+        * np.pi
+        * np.outer(np.arange(n_fft), np.arange(n_bins))
+        / n_fft
+    )
+    basis = np.concatenate([np.cos(ang), np.sin(ang)], axis=1)
+    w = host_features.hann_window(n_fft)
+    return (w[:, None] * basis).astype(np.float32)
+
+
+def _power_spectrum(frames: jax.Array, n_fft: int) -> jax.Array:
+    """|STFT|^2 of [B, T, n_fft] frames via the MXU DFT matmul."""
+    dft = jnp.asarray(_windowed_dft_matrix(n_fft))
+    proj = jnp.einsum(
+        "btn,nk->btk",
+        frames,
+        dft,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    n_bins = 1 + n_fft // 2
+    return jnp.square(proj[..., :n_bins]) + jnp.square(proj[..., n_bins:])
+
+
 def num_frames(num_samples, hop_length: int = 160):
     """Frame count for a centered STFT: 1 + n_samples // hop."""
     return 1 + num_samples // hop_length
+
+
+def _reflect_rows(
+    audio: jax.Array, num_samples: jax.Array, row_t: jax.Array,
+    n_fft: int, hop_length: int,
+) -> jax.Array:
+    """Exact center-padded frames for a FEW rows per utterance via gather.
+
+    Center-padding reflects at *each utterance's own* boundary (the valid
+    length from ``num_samples``), not the padded batch edge. Reflection uses
+    numpy-'reflect' semantics (no repeated edge sample) via modular index
+    arithmetic: fold position q into [0, 2n-2) and take min(q, 2n-2-q).
+
+    row_t: [B, R] frame indices. Returns [B, R, n_fft].
+    """
+    q = (
+        hop_length * row_t[..., None]
+        + jnp.arange(n_fft, dtype=jnp.int32)[None, None, :]
+        - n_fft // 2
+    )
+    # clamp so all-padding rows (num_samples 0) keep the index math valid;
+    # their frames are masked out downstream
+    n = jnp.maximum(num_samples.astype(jnp.int32), 2)[:, None, None]
+    period = 2 * n - 2
+    qm = jnp.mod(q, period)  # non-negative fold
+    r = jnp.minimum(qm, period - qm)  # [B, R, n_fft]
+    return jnp.take_along_axis(audio[:, None, :], r.reshape(
+        audio.shape[0], 1, -1
+    ), axis=2).reshape(audio.shape[0], row_t.shape[1], n_fft)
 
 
 def _frame_batch(
@@ -47,30 +113,49 @@ def _frame_batch(
 ) -> jax.Array:
     """[B, S] -> [B, n_frames, n_fft] frames of the center-padded signal.
 
-    Center-padding reflects at *each utterance's own* boundary (the valid
-    length from ``num_samples``), not the padded batch edge, so a padded
-    batch reproduces single-utterance numerics exactly. Reflection uses
-    numpy-'reflect' semantics (no repeated edge sample) via modular index
-    arithmetic: fold position q into [0, 2n-2) and take min(q, 2n-2-q).
+    TPU-fast framing: a per-element gather over the sample axis (B*T*n_fft
+    indices) costs ~400 ms at B64/T1024 on a v5e; instead the interior
+    frames are assembled from 4 static hop-strided slices (pure layout ops,
+    HBM-bandwidth bound, ~1 ms) and only the handful of frames whose window
+    crosses an utterance boundary — where reflect padding against the
+    *per-utterance* length matters — are recomputed exactly with the small
+    gather of :func:`_reflect_rows` and patched in.
     """
+    B, S = audio.shape
     pad = n_fft // 2
-    n_frames = 1 + audio.shape[1] // hop_length
-    # q[t, k]: sample position of window element k of frame t, may be
-    # negative (left pad) or >= n (right pad).
-    q = (
-        hop_length * jnp.arange(n_frames, dtype=jnp.int32)[:, None]
-        + jnp.arange(n_fft, dtype=jnp.int32)[None, :]
-        - pad
+    T = 1 + S // hop_length
+    n_sub = -(-n_fft // hop_length)  # hop-rows covering one window
+    P = (T + n_sub) * hop_length
+    padded = jnp.pad(audio, ((0, 0), (pad, P - S - pad)))
+    x2 = padded.reshape(B, T + n_sub, hop_length)
+    # frames640[t] = padded[t*hop : t*hop + n_sub*hop] via shifted views
+    frames_wide = jnp.concatenate(
+        [x2[:, i : i + T, :] for i in range(n_sub)], axis=-1
     )
-    # clamp so all-padding rows (num_samples 0) keep the index math valid;
-    # their frames are masked out downstream
-    n = jnp.maximum(num_samples.astype(jnp.int32), 2)[:, None, None]
-    period = 2 * n - 2
-    qm = jnp.mod(q[None, :, :], period)  # non-negative fold
-    r = jnp.minimum(qm, period - qm)  # [B, T, n_fft]
-    return jnp.take_along_axis(
-        audio[:, None, :], r, axis=2
+    frames = frames_wide[..., :n_fft]
+
+    # left boundary: frames 0..ceil(pad/hop)-1 reach before sample 0
+    n_left = -(-pad // hop_length)
+    left_t = jnp.broadcast_to(
+        jnp.arange(n_left, dtype=jnp.int32)[None, :], (B, n_left)
     )
+    frames = frames.at[:, :n_left].set(
+        _reflect_rows(audio, num_samples, left_t, n_fft, hop_length)
+    )
+
+    # right boundary: the last frames of EACH utterance reach past its own
+    # num_samples; their position is dynamic, so patch a fixed-width window
+    # [t_r, t_r + n_right) per utterance with dynamic_update_slice
+    n_right = n_left + 2  # frames with t*hop + pad > num_samples, +margin
+    t_i = 1 + num_samples.astype(jnp.int32) // hop_length
+    t_r = jnp.clip(t_i - n_right, 0, T - n_right)
+    right_t = t_r[:, None] + jnp.arange(n_right, dtype=jnp.int32)[None, :]
+    right_rows = _reflect_rows(audio, num_samples, right_t, n_fft, hop_length)
+
+    def patch(frames_b, rows_b, t0):
+        return jax.lax.dynamic_update_slice(frames_b, rows_b, (t0, 0))
+
+    return jax.vmap(patch)(frames, right_rows, t_r)
 
 
 def _masked_moments(x: jax.Array, mask: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -105,9 +190,7 @@ def batch_power_spectrogram(
       beyond each utterance's length are zeroed.
     """
     frames = _frame_batch(audio.astype(jnp.float32), num_samples, n_fft, hop_length)
-    window = jnp.asarray(host_features.hann_window(n_fft), dtype=jnp.float32)
-    spec = jnp.fft.rfft(frames * window, n=n_fft, axis=-1)
-    power = jnp.square(jnp.abs(spec)).astype(jnp.float32)  # [B, T, F]
+    power = _power_spectrum(frames, n_fft)  # [B, T, F]
 
     mel = jnp.asarray(_mel_matrix(sr, n_fft, n_mels))
     mel_power = jnp.einsum(
@@ -151,9 +234,7 @@ def batch_mfccs(
     """Batched MFCC + delta + delta-delta features on device, [B, T, 3*n_mfcc]."""
     n_mels = 128
     frames = _frame_batch(audio.astype(jnp.float32), num_samples, n_fft, hop_length)
-    window = jnp.asarray(host_features.hann_window(n_fft), dtype=jnp.float32)
-    spec = jnp.fft.rfft(frames * window, n=n_fft, axis=-1)
-    power = jnp.square(jnp.abs(spec)).astype(jnp.float32)
+    power = _power_spectrum(frames, n_fft)
     mel = jnp.asarray(_mel_matrix(sr, n_fft, n_mels))
     mel_power = jnp.einsum(
         "btf,fm->btm",
