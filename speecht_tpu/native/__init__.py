@@ -26,7 +26,12 @@ import threading
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SOURCES = ["speecht_native.cpp", "beam_search.cpp", "npz_reader.cpp"]
+_SOURCES = [
+    "speecht_native.cpp",
+    "beam_search.cpp",
+    "kenlm_binary.cpp",
+    "npz_reader.cpp",
+]
 _LIB_PATH = os.path.join(_HERE, "libspeecht_native.so")
 
 _lock = threading.Lock()
@@ -125,6 +130,15 @@ def _load():
     ]
     lib.st_lm_has_word.restype = ctypes.c_int
     lib.st_lm_has_word.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.st_lm_write_binary.restype = ctypes.c_int
+    lib.st_lm_write_binary.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+        ctypes.c_int32,
+    ]
+    lib.st_lm_is_binary.restype = ctypes.c_int
+    lib.st_lm_is_binary.argtypes = [ctypes.c_char_p]
     lib.st_ctc_beam_search.restype = ctypes.c_int
     lib.st_ctc_beam_search.argtypes = [
         ctypes.POINTER(ctypes.c_float),  # log_probs
@@ -181,17 +195,39 @@ def npz_load_sample(path: str):
     return feats, transcript
 
 
-class NGramLM:
-    """ARPA backoff word LM + vocabulary trie (native handle)."""
+def lm_is_binary(path: str) -> bool:
+    """True when ``path`` is a KenLM binary ("mmap lm ..." magic)."""
+    return bool(_load().st_lm_is_binary(path.encode()))
 
-    def __init__(self, arpa_path: str, vocab_path: str | None = None):
+
+def lm_write_binary(arpa_path: str, out_path: str) -> None:
+    """Convert an ARPA model to KenLM's PROBING binary format."""
+    lib = _load()
+    err = ctypes.create_string_buffer(512)
+    rc = lib.st_lm_write_binary(
+        arpa_path.encode(), out_path.encode(), err, len(err)
+    )
+    if rc != 0:
+        raise ValueError(
+            f"binary conversion failed: {err.value.decode(errors='replace')}"
+        )
+
+
+class NGramLM:
+    """Backoff word LM + vocabulary trie (native handle).
+
+    Accepts KenLM's ARPA source format or its PROBING binary format
+    (`kenlm-model.binary`, reference speecht-cli:84-88) — sniffed by magic.
+    """
+
+    def __init__(self, model_path: str, vocab_path: str | None = None):
         lib = _load()
         self._lib = lib
         self._handle = lib.st_lm_load(
-            arpa_path.encode(), (vocab_path or "").encode()
+            model_path.encode(), (vocab_path or "").encode()
         )
         if not self._handle:
-            raise ValueError(f"failed to load ARPA LM from {arpa_path}")
+            raise ValueError(f"failed to load LM from {model_path}")
 
     @property
     def order(self) -> int:

@@ -17,9 +17,12 @@
 // arguments (never compiled in), which `speecht-cli search` mutates per
 // evaluation (reference parameter_search.py:80-85).
 //
-// The LM is a word-level ARPA backoff model (KenLM's source format) plus a
-// vocabulary file (one word per line) used for the valid-word bonus and the
-// in-beam character trie.
+// The LM is a word-level backoff model — KenLM's ARPA source format OR its
+// PROBING binary format (kenlm_binary.cpp) — plus a vocabulary file (one
+// word per line) used for the valid-word bonus and the in-beam character
+// trie; without the file the trie falls back to the LM's own vocabulary.
+
+#include "lm.h"
 
 #include <cstdint>
 #include <cstdio>
@@ -70,18 +73,91 @@ struct TrieNode {
   TrieNode() : terminal(false) { std::fill(children, children + 28, -1); }
 };
 
-struct LanguageModel {
+// ARPA backend: parses KenLM's source format into per-order hash maps.
+struct ArpaScorer : public speecht::NGramScorer {
   std::unordered_map<std::string, uint32_t> word_ids;
   std::vector<std::unordered_map<uint64_t, NGramEntry>> ngrams;  // [order-1]
-  int order = 0;
+  int order_ = 0;
   uint32_t unk_id = UINT32_MAX;
-  uint32_t bos_id = UINT32_MAX;
+  uint32_t bos_id_ = UINT32_MAX;
   float unk_floor = -10.0f;
+
+  int order() const override { return order_; }
+  uint32_t bos_id() const override { return bos_id_; }
+
+  uint32_t word_id(const std::string& w) const override {
+    auto it = word_ids.find(w);
+    return it == word_ids.end() ? unk_id : it->second;
+  }
+
+  void vocab_words(std::vector<std::string>* out) const override {
+    out->clear();
+    out->reserve(word_ids.size());
+    for (const auto& kv : word_ids) out->push_back(kv.first);
+  }
+
+  static uint64_t key(const uint32_t* ids, int n) {
+    // polynomial hash over word ids (fits order <= 3 exactly in 64 bits
+    // for vocab < 2^21; beyond that it is a hash, collisions negligible)
+    uint64_t k = 1469598103934665603ull;
+    for (int i = 0; i < n; ++i) {
+      k ^= ids[i] + 1;
+      k *= 1099511628211ull;
+    }
+    return k;
+  }
+
+  const NGramEntry* find(const uint32_t* ids, int n) const {
+    if (n <= 0 || n > order_) return nullptr;
+    const auto& m = ngrams[n - 1];
+    auto it = m.find(key(ids, n));
+    return it == m.end() ? nullptr : &it->second;
+  }
+
+  // log10 P(word | history) with Katz backoff. history = up to order-1 ids,
+  // most recent last.
+  float score(const uint32_t* history, int hist_len,
+              uint32_t word) const override {
+    if (order_ == 0) return unk_floor;
+    int ctx = std::min(hist_len, order_ - 1);
+    std::vector<uint32_t> ids(ctx + 1);
+    for (int i = 0; i < ctx; ++i) ids[i] = history[hist_len - ctx + i];
+    ids[ctx] = word;
+    // try longest n-gram first, accumulate backoffs
+    float backoff_sum = 0.0f;
+    for (int n = ctx + 1; n >= 1; --n) {
+      const uint32_t* start = ids.data() + (ctx + 1 - n);
+      const NGramEntry* e = find(start, n);
+      if (e) return e->logprob + backoff_sum;
+      if (n > 1) {
+        // add backoff of the (n-1)-gram context
+        const NGramEntry* b = find(start, n - 1);
+        if (b) backoff_sum += b->backoff;
+      }
+    }
+    return unk_floor + backoff_sum;
+  }
+};
+
+// Handle the bindings hold: a scorer backend (ARPA or KenLM binary) plus
+// the character trie for the valid-word bonus.
+struct LanguageModel {
+  std::unique_ptr<speecht::NGramScorer> scorer;
+  int order = 0;
+  uint32_t bos_id = UINT32_MAX;
 
   // vocabulary trie over character ids for valid-word lookup
   std::vector<TrieNode> trie;
 
   LanguageModel() { trie.emplace_back(); }
+
+  uint32_t word_id(const std::string& w) const {
+    return scorer->word_id(w);
+  }
+
+  float score(const uint32_t* history, int hist_len, uint32_t word) const {
+    return scorer->score(history, hist_len, word);
+  }
 
   void trie_insert(const std::string& word) {
     int node = 0;
@@ -112,57 +188,12 @@ struct LanguageModel {
     return trie[node].terminal;
   }
 
-  uint32_t word_id(const std::string& w) const {
-    auto it = word_ids.find(w);
-    return it == word_ids.end() ? unk_id : it->second;
-  }
-
-  static uint64_t key(const uint32_t* ids, int n) {
-    // polynomial hash over word ids (fits order <= 3 exactly in 64 bits
-    // for vocab < 2^21; beyond that it is a hash, collisions negligible)
-    uint64_t k = 1469598103934665603ull;
-    for (int i = 0; i < n; ++i) {
-      k ^= ids[i] + 1;
-      k *= 1099511628211ull;
-    }
-    return k;
-  }
-
-  const NGramEntry* find(const uint32_t* ids, int n) const {
-    if (n <= 0 || n > order) return nullptr;
-    const auto& m = ngrams[n - 1];
-    auto it = m.find(key(ids, n));
-    return it == m.end() ? nullptr : &it->second;
-  }
-
-  // log10 P(word | history) with Katz backoff. history = up to order-1 ids,
-  // most recent last.
-  float score(const uint32_t* history, int hist_len, uint32_t word) const {
-    if (order == 0) return unk_floor;
-    int ctx = std::min(hist_len, order - 1);
-    std::vector<uint32_t> ids(ctx + 1);
-    for (int i = 0; i < ctx; ++i) ids[i] = history[hist_len - ctx + i];
-    ids[ctx] = word;
-    // try longest n-gram first, accumulate backoffs
-    float backoff_sum = 0.0f;
-    for (int n = ctx + 1; n >= 1; --n) {
-      const uint32_t* start = ids.data() + (ctx + 1 - n);
-      const NGramEntry* e = find(start, n);
-      if (e) return e->logprob + backoff_sum;
-      if (n > 1) {
-        // add backoff of the (n-1)-gram context
-        const NGramEntry* b = find(start, n - 1);
-        if (b) backoff_sum += b->backoff;
-      }
-    }
-    return unk_floor + backoff_sum;
-  }
 };
 
-LanguageModel* load_arpa(const char* arpa_path, const char* vocab_path) {
+ArpaScorer* parse_arpa(const char* arpa_path) {
   std::ifstream f(arpa_path);
   if (!f.good()) return nullptr;
-  auto lm = std::make_unique<LanguageModel>();
+  auto lm = std::make_unique<ArpaScorer>();
 
   std::string line;
   int current_order = 0;
@@ -187,7 +218,7 @@ LanguageModel* load_arpa(const char* arpa_path, const char* vocab_path) {
     }
     if (line.size() > 2 && line[0] == '\\' && line.find("-grams:") != std::string::npos) {
       current_order = std::atoi(line.c_str() + 1);
-      if (lm->order < current_order) lm->order = current_order;
+      if (lm->order_ < current_order) lm->order_ = current_order;
       if ((int)lm->ngrams.size() < current_order) lm->ngrams.resize(current_order);
       if (current_order >= 1 && counts.size() >= (size_t)current_order)
         lm->ngrams[current_order - 1].reserve(counts[current_order - 1] * 2);
@@ -220,7 +251,7 @@ LanguageModel* load_arpa(const char* arpa_path, const char* vocab_path) {
         ids[i] = it->second;
       }
     }
-    lm->ngrams[current_order - 1][LanguageModel::key(ids.data(), current_order)] =
+    lm->ngrams[current_order - 1][ArpaScorer::key(ids.data(), current_order)] =
         NGramEntry{logprob, backoff};
   }
 
@@ -232,9 +263,32 @@ LanguageModel* load_arpa(const char* arpa_path, const char* vocab_path) {
     if (e) lm->unk_floor = e->logprob;
   }
   auto bos = lm->word_ids.find("<s>");
-  if (bos != lm->word_ids.end()) lm->bos_id = bos->second;
+  if (bos != lm->word_ids.end()) lm->bos_id_ = bos->second;
+  return lm.release();
+}
 
-  // vocabulary trie: explicit vocabulary file, else LM unigrams
+// Loads either format (sniffed by magic) and builds the character trie.
+LanguageModel* load_lm(const char* model_path, const char* vocab_path) {
+  auto lm = std::make_unique<LanguageModel>();
+  if (speecht::is_kenlm_binary(model_path)) {
+    std::string err;
+    speecht::NGramScorer* s =
+        speecht::load_kenlm_binary_scorer(model_path, &err);
+    if (!s) {
+      std::fprintf(stderr, "kenlm binary load failed (%s): %s\n",
+                   model_path, err.c_str());
+      return nullptr;
+    }
+    lm->scorer.reset(s);
+  } else {
+    ArpaScorer* s = parse_arpa(model_path);
+    if (!s) return nullptr;
+    lm->scorer.reset(s);
+  }
+  lm->order = lm->scorer->order();
+  lm->bos_id = lm->scorer->bos_id();
+
+  // vocabulary trie: explicit vocabulary file, else the LM's own words
   if (vocab_path && vocab_path[0]) {
     std::ifstream vf(vocab_path);
     std::string w;
@@ -244,8 +298,9 @@ LanguageModel* load_arpa(const char* arpa_path, const char* vocab_path) {
       if (!w.empty()) lm->trie_insert(w);
     }
   } else {
-    for (const auto& kv : lm->word_ids) {
-      std::string w = kv.first;
+    std::vector<std::string> words;
+    lm->scorer->vocab_words(&words);
+    for (std::string w : words) {
       if (w == "<s>" || w == "</s>" || w == "<unk>") continue;
       std::transform(w.begin(), w.end(), w.begin(), ::tolower);
       lm->trie_insert(w);
@@ -268,7 +323,7 @@ struct Node {
   int32_t depth;       // prefix length
   // shallow-fusion state (function of the prefix string alone)
   float lm_score;      // accumulated weighted bonuses (ln scale)
-  uint32_t hist[2];    // last up-to-2 completed word ids (order <= 3)
+  uint32_t hist[4];    // last up-to-4 completed word ids (order <= 5)
   int8_t hist_len;
   // intrusive child list (hash-free lookups; fanout is <= 28)
   int32_t first_child = -1;
@@ -310,7 +365,7 @@ struct Arena {
 
     const Node& p = nodes[parent];
     Node n{parent, ch, p.depth + 1, p.lm_score,
-           {p.hist[0], p.hist[1]}, p.hist_len};
+           {p.hist[0], p.hist[1], p.hist[2], p.hist[3]}, p.hist_len};
     if (ch == kSpaceId) {
       std::string w = partial_word(parent);
       if (!w.empty()) {
@@ -325,11 +380,11 @@ struct Arena {
           n.lm_score +=
               lm_weight * lm->score(hist.data(), (int)hist.size(), wid) *
               (float)kLog10;
-          if (n.hist_len < 2) {
+          if (n.hist_len < 4) {
             n.hist[n.hist_len++] = wid;
           } else {
-            n.hist[0] = n.hist[1];
-            n.hist[1] = wid;
+            for (int i = 0; i < 3; ++i) n.hist[i] = n.hist[i + 1];
+            n.hist[3] = wid;
           }
         }
       }
@@ -355,8 +410,24 @@ struct Cand {
 
 extern "C" {
 
-void* st_lm_load(const char* arpa_path, const char* vocab_path) {
-  return load_arpa(arpa_path, vocab_path);
+void* st_lm_load(const char* model_path, const char* vocab_path) {
+  return load_lm(model_path, vocab_path);
+}
+
+// ARPA -> KenLM PROBING binary converter. Returns 0 on success; err_buf
+// receives a message on failure.
+int st_lm_write_binary(const char* arpa_path, const char* out_path,
+                       char* err_buf, int err_capacity) {
+  std::string err;
+  int rc = speecht::write_kenlm_binary(arpa_path, out_path, &err);
+  if (rc != 0 && err_buf && err_capacity > 0) {
+    std::snprintf(err_buf, (size_t)err_capacity, "%s", err.c_str());
+  }
+  return rc;
+}
+
+int st_lm_is_binary(const char* path) {
+  return speecht::is_kenlm_binary(path) ? 1 : 0;
 }
 
 void st_lm_free(void* lm) { delete (LanguageModel*)lm; }

@@ -32,25 +32,33 @@ from speecht_tpu.train import step as tstep
 
 
 def find_lm_files(directory: str) -> tuple[str, str | None]:
-    """Locate (arpa_model, vocabulary) in an LM directory.
+    """Locate (model, vocabulary) in an LM directory.
 
-    Accepts KenLM-style layouts: an ``*.arpa`` (or ``kenlm-model.arpa``)
-    plus an optional ``vocabulary`` file (reference speecht-cli:84-88 names
-    `kenlm-model.binary`, `vocabulary`, `trie`; the binary/trie formats are
-    KenLM-internal — this framework consumes the ARPA source, which KenLM
-    ships alongside).
+    Accepts the reference's released bundle layout (speecht-cli:84-88:
+    `kenlm-model.binary` + `vocabulary` + `trie`) — the KenLM PROBING
+    binary is read natively (native/kenlm_binary.cpp) — as well as ARPA
+    source layouts (``*.arpa`` / ``*.arpa.txt``). Binaries are preferred
+    when both are present; the optional ``vocabulary`` file feeds the
+    valid-word trie (the reference's separate `trie` file is an internal
+    artifact of the forked TF decoder and is not needed here).
     """
-    arpa = None
-    for name in sorted(os.listdir(directory)):
-        if name.endswith(".arpa") or name.endswith(".arpa.txt"):
-            arpa = os.path.join(directory, name)
+    names = sorted(os.listdir(directory))
+    model = None
+    for name in names:  # prefer the released binary bundle
+        if name.endswith(".binary") or name == "kenlm-model.bin":
+            model = os.path.join(directory, name)
             break
-    if arpa is None:
+    if model is None:
+        for name in names:
+            if name.endswith(".arpa") or name.endswith(".arpa.txt"):
+                model = os.path.join(directory, name)
+                break
+    if model is None:
         raise FileNotFoundError(
-            f"no .arpa language model found in {directory}"
+            f"no .binary or .arpa language model found in {directory}"
         )
     vocab = os.path.join(directory, "vocabulary")
-    return arpa, (vocab if os.path.exists(vocab) else None)
+    return model, (vocab if os.path.exists(vocab) else None)
 
 
 class BeamSearchDecoder:

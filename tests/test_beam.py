@@ -147,6 +147,88 @@ def emissions_for_text(text, confidence=3.0, smear=None):
     return softmax_logs(logits)
 
 
+class TestKenlmBinary:
+    """KenLM PROBING binary format: ARPA -> binary -> identical scores.
+
+    Parity target: the reference's released `kenlm-model.binary` bundle
+    (reference speecht-cli:84-88, speech_model.py:103-111)."""
+
+    @pytest.fixture
+    def binary_path(self, lm_dir):
+        out = str(lm_dir / "kenlm-model.binary")
+        native.lm_write_binary(str(lm_dir / "model.arpa"), out)
+        return out
+
+    def test_magic_and_sniffing(self, lm_dir, binary_path):
+        assert native.lm_is_binary(binary_path)
+        assert not native.lm_is_binary(str(lm_dir / "model.arpa"))
+        with open(binary_path, "rb") as f:
+            head = f.read(64)
+        assert head.startswith(
+            b"mmap lm http://kheafield.com/code format version 5\n"
+        )
+
+    def test_binary_scores_match_arpa(self, lm_dir, binary_path):
+        arpa = native.NGramLM(str(lm_dir / "model.arpa"))
+        binary = native.NGramLM(binary_path)
+        assert binary.order == arpa.order == 2
+        queries = [
+            ("", "the"),  # <s> the bigram
+            ("the", "cat"),  # bigram hit
+            ("dog", "sat"),  # backoff: backoff(dog) + unigram(sat)
+            ("cat", "dog"),  # backoff via cat
+            ("the", "xylophone"),  # OOV -> <unk>
+            ("", "sat"),  # backoff via <s>
+            ("sat", "the"),
+        ]
+        for hist, word in queries:
+            assert binary.score_word(hist, word) == pytest.approx(
+                arpa.score_word(hist, word), abs=1e-5
+            ), (hist, word)
+
+    def test_binary_vocab_trie_fallback(self, binary_path):
+        # no vocabulary file: the trie comes from the binary's own strings
+        lm = native.NGramLM(binary_path)
+        assert lm.has_word("cat")
+        assert lm.has_word("dog")
+        assert not lm.has_word("ca")
+        assert not lm.has_word("<s>")
+
+    def test_find_lm_files_prefers_binary(self, lm_dir, binary_path):
+        from speecht_tpu.ops.beam import find_lm_files
+
+        model, vocab = find_lm_files(str(lm_dir))
+        assert model == binary_path
+        assert vocab == str(lm_dir / "vocabulary")
+
+    def test_beam_decode_identical_under_both_formats(
+        self, lm_dir, binary_path
+    ):
+        arpa = native.NGramLM(
+            str(lm_dir / "model.arpa"), str(lm_dir / "vocabulary")
+        )
+        binary = native.NGramLM(binary_path, str(lm_dir / "vocabulary"))
+        logp = emissions_for_text("the dag ", smear={5: (14, 2.95)})
+        kwargs = dict(
+            beam_width=50,
+            lm_weight=2.0,
+            word_count_weight=0.5,
+            valid_word_count_weight=2.0,
+        )
+        a = native.ctc_beam_search(logp, lm=arpa, **kwargs)
+        b = native.ctc_beam_search(logp, lm=binary, **kwargs)
+        np.testing.assert_array_equal(a, b)
+        assert vocabulary.ids_to_sentence(b).strip() == "the dog"
+
+    def test_corrupt_binary_fails_loudly(self, tmp_path, binary_path):
+        data = bytearray(open(binary_path, "rb").read())
+        data[200:] = data[200:][::-1]  # scramble everything past the header
+        bad = tmp_path / "bad.binary"
+        bad.write_bytes(bytes(data))
+        with pytest.raises(ValueError):
+            native.NGramLM(str(bad))
+
+
 class TestPipelinedEvalBatches:
     def test_matches_sequential_eval_step(self, lm_dir):
         from speecht_tpu.config import LanguageModelConfig

@@ -153,6 +153,43 @@ def test_evaluate_with_language_model(workdir, capsys):
     assert "Global statistics" in out
 
 
+def test_evaluate_with_kenlm_binary_bundle(workdir, capsys):
+    # released-bundle layout: kenlm-model.binary + vocabulary (reference
+    # speecht-cli:84-88); the binary is read natively and must decode
+    # identically to the ARPA source
+    from speecht_tpu import native
+
+    arpa_dir = _write_lm(workdir)
+    bundle = workdir / "lm-binary"
+    bundle.mkdir(exist_ok=True)
+    native.lm_write_binary(
+        str(arpa_dir / "model.arpa"), str(bundle / "kenlm-model.binary")
+    )
+    (bundle / "vocabulary").write_text(
+        (arpa_dir / "vocabulary").read_text()
+    )
+
+    stats_arpa = run_cli(
+        workdir,
+        "evaluate", "--test", "--step-count", "1", "--no-save",
+        "--language-model", str(arpa_dir), "--beam-width", "8",
+    )
+    arpa_out = capsys.readouterr().out
+    stats_bin = run_cli(
+        workdir,
+        "evaluate", "--test", "--step-count", "1", "--no-save",
+        "--language-model", str(bundle), "--beam-width", "8",
+    )
+    bin_out = capsys.readouterr().out
+    assert stats_bin.decodings_counter == 1
+    assert stats_bin.letter_error_rate == stats_arpa.letter_error_rate
+
+    def decoded(out):
+        return [l for l in out.splitlines() if l.startswith("decoded:")]
+
+    assert decoded(bin_out) == decoded(arpa_out)
+
+
 def test_evaluate_from_audio_with_language_model(workdir, capsys):
     lm_dir = _write_lm(workdir)
     stats = run_cli(
