@@ -79,6 +79,13 @@ class CLI:
             help="Batch similar-length utterances together (less padding "
             "waste than random batching).",
         )
+        p.add_argument(
+            "--max-input-frames", dest="max_input_frames", type=int,
+            default=0,
+            help="Skip cached utterances longer than this many feature "
+            "frames (0 = unlimited). Skipped files print a warning "
+            "(reference preprocessing.py:272-276 max_size semantics).",
+        )
         p.set_defaults(feature_type="power")
         return p
 

@@ -81,6 +81,7 @@ class Evaluation(DatasetExecutor):
             loop_infinitely=False,
             limit_count=limit_count,
             feature_type=self.flags.feature_type,
+            max_size=getattr(self.flags, "max_input_frames", 0) or False,
         )
 
     def create_loader(self):

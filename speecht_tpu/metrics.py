@@ -44,21 +44,24 @@ class EvalStatistics:
         self.sum_word_error_rate += self.word_error_rate
         self.decodings_counter += 1
 
+    # empty evaluations (e.g. every utterance skipped by
+    # --max-input-frames) report 0 instead of dividing by zero
+
     @property
     def global_letter_edit_distance(self) -> float:
-        return self.sum_letter_edit_distance / self.decodings_counter
+        return self.sum_letter_edit_distance / max(self.decodings_counter, 1)
 
     @property
     def global_letter_error_rate(self) -> float:
-        return self.sum_letter_error_rate / self.decodings_counter
+        return self.sum_letter_error_rate / max(self.decodings_counter, 1)
 
     @property
     def global_word_edit_distance(self) -> float:
-        return self.sum_word_edit_distance / self.decodings_counter
+        return self.sum_word_edit_distance / max(self.decodings_counter, 1)
 
     @property
     def global_word_error_rate(self) -> float:
-        return self.sum_word_error_rate / self.decodings_counter
+        return self.sum_word_error_rate / max(self.decodings_counter, 1)
 
     def summary(self) -> str:
         return "LED: {} LER: {:.2f} WED: {} WER: {:.2f}".format(

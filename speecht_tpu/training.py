@@ -62,6 +62,9 @@ class Training(DatasetExecutor):
             loop_infinitely=True,
             limit_count=limit_count,
             feature_type=self.flags.feature_type,
+            # --max-input-frames: skip-with-warning for too-long utterances
+            # (reference preprocessing.py:272-276 max_size semantics)
+            max_size=getattr(self.flags, "max_input_frames", 0) or False,
         )
 
     def get_loader_limit_count(self) -> int:

@@ -254,6 +254,31 @@ def test_evaluate_from_audio_matches_cached(workdir, capsys):
     assert decoded_line(audio_out) == decoded_line(cached_out)
 
 
+def test_max_input_frames_skips_long_utterances(workdir, capsys, caplog):
+    # the fixture utterance is 719 frames; a 100-frame cap must skip it
+    # with a warning (reference preprocessing.py:272-276 max_size semantics)
+    import logging
+
+    with caplog.at_level(logging.WARNING):
+        stats = run_cli(
+            workdir,
+            "evaluate", "--test", "--step-count", "1", "--no-save",
+            "--max-input-frames", "100",
+        )
+    capsys.readouterr()
+    assert stats.decodings_counter == 0
+    assert any("too long" in r.message for r in caplog.records)
+
+    # a generous cap lets it through
+    stats = run_cli(
+        workdir,
+        "evaluate", "--test", "--step-count", "1", "--no-save",
+        "--max-input-frames", "2000",
+    )
+    capsys.readouterr()
+    assert stats.decodings_counter == 1
+
+
 def test_evaluate_seq_parallel_matches_dense(workdir, capsys):
     # long-utterance SP evaluate through the CLI: 2-way time shard must
     # reproduce the dense greedy decode exactly
@@ -275,6 +300,30 @@ def test_evaluate_seq_parallel_matches_dense(workdir, capsys):
         )
 
     assert decoded_line(sp_out) == decoded_line(dense_out)
+
+
+def test_reference_weights_gate_command(workdir, capsys):
+    # rehearse the best_run parity gate (docs/parity_gate.md) with a
+    # synthesized checkpoint in the released layout; the command is the
+    # exact gate command, only the weights are stand-ins (zero egress)
+    import sys
+
+    sys.path.insert(0, "tools")
+    from tools.make_best_run_fixture import make_fixture
+
+    best_run = workdir / "train" / "best_run"
+    best_run.mkdir(parents=True, exist_ok=True)
+    make_fixture(str(best_run), input_size=128)
+
+    stats = run_cli(
+        workdir,
+        "evaluate", "--test", "--no-save",
+        "--reference-weights", str(best_run),
+    )
+    out = capsys.readouterr().out
+    assert stats.decodings_counter == 1
+    assert "Global statistics" in out
+    assert "LER" in out and "WER" in out
 
 
 def test_mfcc_pipeline(workdir, capsys):
