@@ -310,6 +310,17 @@ class CLI:
             from speecht_tpu import runtime
 
             runtime.enable_compilation_cache()
+            # multi-host: join the coordinator when launched under the
+            # standard JAX distributed env (JAX_COORDINATOR_ADDRESS etc.);
+            # jax.devices() then spans all hosts and the ('data','model')
+            # mesh shards across them with collectives over ICI/DCN
+            if runtime.init_distributed():
+                import jax
+
+                print(
+                    f"distributed: process {jax.process_index()} of "
+                    f"{jax.process_count()}, {len(jax.devices())} devices"
+                )
         self._ensure_directories()
         return self.command_executor.run()
 

@@ -117,7 +117,10 @@ class _Conv1d(nn.Module):
                 )
         # conv in compute_dtype (MXU accumulates f32 internally); no
         # preferred_element_type upcast — its transpose rule would mix f32
-        # cotangents with bf16 kernels
+        # cotangents with bf16 kernels. Alternative lowerings for the
+        # stride-2 first layer (phase-reshape to stride-1, channel padding
+        # to lane multiples) were measured on the v5e and did NOT beat this
+        # — see docs/kernels.md "round-2 profiling".
         y = jax.lax.conv_general_dilated(
             x.astype(self.compute_dtype),
             kernel.astype(self.compute_dtype),

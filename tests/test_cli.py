@@ -97,3 +97,51 @@ def test_tpu_native_flags():
 def test_record_streaming_flag():
     assert parse("record", "--streaming").streaming
     assert not parse("record").streaming
+
+
+class TestDistributedInit:
+    def test_noop_without_coordinator_env(self, monkeypatch):
+        from speecht_tpu import runtime
+
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        assert runtime.init_distributed() is False
+
+    def test_cli_joins_coordinator(self, monkeypatch, tmp_path):
+        """`speecht-cli <cmd>` must call jax.distributed.initialize when
+        launched under the standard multi-process env (weak spot: the init
+        path must not be dead code)."""
+        import types
+
+        import jax
+
+        from speecht_tpu.cli import CLI
+
+        calls = {}
+
+        def fake_initialize(coordinator_address, num_processes, process_id):
+            calls.update(
+                addr=coordinator_address, n=num_processes, pid=process_id
+            )
+
+        monkeypatch.setattr(jax.distributed, "initialize", fake_initialize)
+        monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+        monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+        monkeypatch.setenv("JAX_PROCESS_ID", "2")
+
+        cli = CLI(
+            [
+                "evaluate", "--test",
+                "--data-dir", str(tmp_path / "data"),
+                "--train-dir", str(tmp_path / "train"),
+                "--log-dir", str(tmp_path / "log"),
+            ]
+        )
+        monkeypatch.setattr(
+            CLI,
+            "command_executor",
+            property(
+                lambda self: types.SimpleNamespace(run=lambda: "ran")
+            ),
+        )
+        assert cli.run() == "ran"
+        assert calls == {"addr": "10.0.0.1:1234", "n": 4, "pid": 2}
