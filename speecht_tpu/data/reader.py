@@ -182,6 +182,8 @@ class SpeechCorpusReader:
         limit_count: int = 0,
         seed: int | None = None,
         sample_rate: int = 22050,
+        shard_index: int = 0,
+        shard_count: int = 1,
     ):
         """Yield (raw_audio float32 @ sample_rate, transcript) from flacs.
 
@@ -195,10 +197,14 @@ class SpeechCorpusReader:
                 os.path.join(self._data_directory, directory), "*.flac"
             )
         )
+        if shard_count > 1 and seed is None:
+            seed = 0
         rng = random.Random(seed)
         rng.shuffle(files)
         if limit_count:
             files = files[:limit_count]
+        if shard_count > 1:
+            files = files[shard_index::shard_count]
         transcript_dict = self._transcript_dict
 
         while True:
@@ -220,23 +226,34 @@ class SpeechCorpusReader:
         limit_count: int = 0,
         feature_type: str = "mfcc",
         seed: int | None = None,
+        shard_index: int = 0,
+        shard_count: int = 1,
     ):
         """Yield (features, transcript) pairs from the npz cache, shuffled.
 
         Semantics match reference preprocessing.py:243-279: optional max time
         length (longer utterances skipped with a warning), optional sample
         limit, optional infinite reshuffling loop.
+
+        Multi-host: ``shard_index``/``shard_count`` give each process a
+        disjoint slice of the corpus (every process must pass the same
+        ``seed`` so the pre-shard shuffle agrees; a deterministic default
+        is forced when sharding).
         """
         load_directory = self._get_directory(feature_type, directory)
         if not os.path.exists(load_directory):
             raise ValueError(f"Directory {load_directory} does not exist")
 
         files = sorted(iglob_recursive(load_directory, "*.npz"))
+        if shard_count > 1 and seed is None:
+            seed = 0  # all processes must agree on the permutation
         rng = random.Random(seed)
         rng.shuffle(files)
 
         if limit_count:
             files = files[:limit_count]
+        if shard_count > 1:
+            files = files[shard_index::shard_count]
 
         def load_one(file):
             # the native reader is ~3x numpy.load and GIL-releasing

@@ -75,6 +75,7 @@ class Evaluation(DatasetExecutor):
                 self.flags.dataset,
                 loop_infinitely=False,
                 limit_count=limit_count,
+                **self.shard_kwargs,
             )
         return self.reader.load_samples(
             self.flags.dataset,
@@ -82,6 +83,7 @@ class Evaluation(DatasetExecutor):
             limit_count=limit_count,
             feature_type=self.flags.feature_type,
             max_size=getattr(self.flags, "max_input_frames", 0) or False,
+            **self.shard_kwargs,
         )
 
     def create_loader(self):
@@ -96,14 +98,15 @@ class Evaluation(DatasetExecutor):
             lambda: self.create_sample_generator(
                 self.get_loader_limit_count()
             ),
-            batch_size=self.flags.batch_size,
+            batch_size=self.local_batch_size(),
             time_bucket=160 * getattr(self.flags, "bucket_step", 256),
             max_steps=self.get_max_steps(),
             batch_builder=build_audio_batch,
         )
 
     def get_loader_limit_count(self) -> int:
-        return self.flags.step_count * self.flags.batch_size
+        # per-process: each process evaluates its shard of every batch
+        return self.flags.step_count * self.local_batch_size()
 
     def get_max_steps(self):
         return self.flags.step_count or None

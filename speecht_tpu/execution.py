@@ -68,6 +68,26 @@ class DatasetExecutor(abc.ABC):
         self.mesh = self.create_mesh()
         self.model = build_model(self.input_size, flags)
 
+    @property
+    def shard_kwargs(self) -> dict:
+        """Per-process corpus shard (multi-host): each process reads a
+        disjoint slice and feeds only its own chips (mesh.shard_batch
+        assembles the global array)."""
+        n = jax.process_count()
+        if n <= 1:
+            return {}
+        return {"shard_index": jax.process_index(), "shard_count": n}
+
+    def local_batch_size(self) -> int:
+        """--batch-size is GLOBAL; each process builds its share."""
+        n = jax.process_count()
+        if self.flags.batch_size % n:
+            raise ValueError(
+                f"--batch-size {self.flags.batch_size} must divide across "
+                f"{n} processes"
+            )
+        return self.flags.batch_size // n
+
     def create_mesh(self):
         try:
             return pmesh.auto_mesh(
@@ -107,7 +127,7 @@ class DatasetExecutor(abc.ABC):
             lambda: self.create_sample_generator(
                 self.get_loader_limit_count()
             ),
-            batch_size=self.flags.batch_size,
+            batch_size=self.local_batch_size(),
             time_bucket=getattr(self.flags, "bucket_step", 256),
             max_steps=self.get_max_steps(),
             group_by_length=getattr(self.flags, "group_by_length", False),

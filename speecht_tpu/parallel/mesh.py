@@ -131,15 +131,28 @@ def constrain(x: jax.Array, *spec) -> jax.Array:
 
 
 def shard_batch(batch, mesh: Mesh | None = None):
-    """device_put a host batch pytree sharded on the data axis (dim 0)."""
+    """Put a host batch pytree on device, sharded on the data axis (dim 0).
+
+    Single-process: a plain sharded ``device_put``. Multi-host: each
+    process holds only its *local* rows (the loader shards the corpus per
+    process — data/reader.py shard_index/shard_count) and the global array
+    is assembled with ``jax.make_array_from_process_local_data`` — no
+    cross-host data movement; every process feeds its own chips.
+    """
     mesh = mesh or get_mesh()
     if mesh is None:
         return jax.device_put(batch)
-    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    n_proc = jax.process_count()
 
     def put(x):
         x = np.asarray(x)
         spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if n_proc > 1:
+            global_shape = (x.shape[0] * n_proc, *x.shape[1:])
+            return jax.make_array_from_process_local_data(
+                sharding, x, global_shape
+            )
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, batch)

@@ -65,6 +65,7 @@ class Training(DatasetExecutor):
             # --max-input-frames: skip-with-warning for too-long utterances
             # (reference preprocessing.py:272-276 max_size semantics)
             max_size=getattr(self.flags, "max_input_frames", 0) or False,
+            **self.shard_kwargs,
         )
 
     def get_loader_limit_count(self) -> int:
