@@ -149,20 +149,50 @@ class Training(DatasetExecutor):
                     and not profiling
                     and global_step == profile_range[0]
                 ):
-                    jax.profiler.start_trace(
-                        os.path.join(flags.log_dir, "profile")
-                    )
-                    profiling = True
+                    try:
+                        jax.profiler.start_trace(
+                            os.path.join(flags.log_dir, "profile")
+                        )
+                        profiling = "trace"
+                    except Exception as e:
+                        # some backends (e.g. remote-tunneled chips) cannot
+                        # host the profiler service; fall back to per-step
+                        # wall-clock timing over the window
+                        print(
+                            "profiler trace unavailable on this backend "
+                            f"({type(e).__name__}); recording wall-clock "
+                            "step times instead"
+                        )
+                        profiling = "wallclock"
+                        profile_times: list[float] = []
+                if profiling == "wallclock":
+                    import numpy as _np
+
+                    _np.asarray(state.learning_rate)  # drain queued steps
+                    t0 = time.time()
 
                 # dispatch-only: no host<->device sync in the hot loop
                 state, acc = train_step(state, acc, batch)
                 self._latest_state = state
                 global_step += 1
 
+                if profiling == "wallclock":
+                    import numpy as _np
+
+                    _np.asarray(acc["count"])  # wait for this step
+                    profile_times.append(time.time() - t0)
                 if profiling and global_step >= profile_range[1]:
-                    jax.profiler.stop_trace()
+                    if profiling == "trace":
+                        jax.profiler.stop_trace()
+                        print(
+                            f"Profiler trace written to {flags.log_dir}/profile"
+                        )
+                    else:
+                        ms = [f"{1000 * t:.1f}" for t in profile_times]
+                        print(
+                            "profiled step wall-times (ms): " + " ".join(ms)
+                        )
                     profiling = False
-                    print(f"Profiler trace written to {flags.log_dir}/profile")
                 if global_step % spc == 0:
                     # the one host readback per interval: running metrics
                     # (three scalars) + lr, then the device-reduced summaries
