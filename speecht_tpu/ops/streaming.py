@@ -299,10 +299,10 @@ class StreamingRecognizer:
         )
         return vocabulary.ids_to_sentence(self._committed_ids + tentative)
 
-    def finalize(self) -> str:
-        """Exact offline decode of the full buffered utterance."""
+    def finalize_logits(self) -> np.ndarray:
+        """Exact offline logits [T//2, C] of the full buffered utterance."""
         if len(self._audio) < self.n_fft:
-            return ""
+            return np.zeros((0, vocabulary.NUM_CLASSES), np.float32)
         if self.feature_type == "power":
             feats = F.calc_power_spectrogram(self._audio, self.sample_rate)
         else:
@@ -314,5 +314,30 @@ class StreamingRecognizer:
         # final pass runs the full utterance in one shot (padded to a
         # window multiple so compiled shapes are reused)
         logits = np.asarray(self._forward(self.params, padded[None]))[0]
-        ids = greedy_collapse(np.argmax(logits[: T // 2], axis=-1))
+        return logits[: T // 2]
+
+    def finalize(self, beam=None, **weight_overrides) -> str:
+        """Exact offline decode of the full buffered utterance.
+
+        With ``beam`` (an ops.beam.BeamSearchDecoder) the final transcript
+        is LM-rescored through the host prefix beam — the streaming twin of
+        ``record --language-model``'s one-shot decode (reference
+        recording.py:59-69 with speech_model.py:101-111's LM path); greedy
+        otherwise.
+        """
+        logits = self.finalize_logits()
+        if not len(logits):
+            return ""
+        if beam is not None:
+            shifted = logits - logits.max(-1, keepdims=True)
+            logp = shifted - np.log(
+                np.exp(shifted).sum(-1, keepdims=True)
+            )
+            decoded, lengths = beam.decode_emissions(
+                logp[None].astype(np.float32),
+                np.array([len(logp)], np.int32),
+                **weight_overrides,
+            )
+            return vocabulary.ids_to_sentence(decoded[0, : lengths[0]])
+        ids = greedy_collapse(np.argmax(logits, axis=-1))
         return vocabulary.ids_to_sentence(ids)

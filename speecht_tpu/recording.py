@@ -87,6 +87,13 @@ class Recording:
             sample_rate=sample_rate,
             feature_type=self.flags.feature_type,
         )
+        # with --language-model the final transcript is LM-rescored
+        beam = None
+        lm_flags = getattr(self.flags, "lm", None)
+        if lm_flags is not None and lm_flags.language_model:
+            from speecht_tpu.ops.beam import BeamSearchDecoder
+
+            beam = BeamSearchDecoder(model, lm_flags)
         pa = recorder._pyaudio_mod
         stream = recorder._pyaudio.open(
             format=pa.paFloat32,
@@ -105,7 +112,7 @@ class Recording:
                 print(f"\rpartial: {partial}", end="", flush=True)
         except KeyboardInterrupt:
             print()
-            final = rec.finalize()
+            final = rec.finalize(beam=beam)
             print(f"decoded: {final}")
             return final
         finally:

@@ -215,6 +215,42 @@ class TestMfccStreaming:
         assert corr > 0.98, corr
 
 
+def test_finalize_with_lm_beam(model_params, tmp_path):
+    """finalize(beam=...) must equal a host beam over the offline logits —
+    the streaming twin of `record --language-model`'s one-shot decode."""
+    from speecht_tpu import native
+    from speecht_tpu.config import LanguageModelConfig
+    from speecht_tpu.ops.beam import BeamSearchDecoder
+    from tests.test_beam import ARPA
+
+    (tmp_path / "model.arpa").write_text(ARPA)
+    model, params = model_params
+    sr = 16000
+    audio = speechlike_audio(1.5, sr, seed=6)
+    rec = StreamingRecognizer(model, params, sample_rate=sr)
+    for chunk in np.array_split(audio, 6):
+        rec.accept_chunk(chunk)
+
+    beam = BeamSearchDecoder(
+        model,
+        LanguageModelConfig(language_model=str(tmp_path), beam_width=8),
+    )
+    final_lm = rec.finalize(beam=beam)
+    assert isinstance(final_lm, str)
+
+    # reference computation: beam over the exact offline emissions
+    logits = rec.finalize_logits()
+    shifted = logits - logits.max(-1, keepdims=True)
+    logp = shifted - np.log(np.exp(shifted).sum(-1, keepdims=True))
+    ids = native.ctc_beam_search(
+        logp.astype(np.float32), beam_width=8, lm=beam.lm,
+        lm_weight=0.8, word_count_weight=0.0, valid_word_count_weight=2.3,
+    )
+    assert final_lm == vocabulary.ids_to_sentence(ids)
+    # greedy finalize still works and may differ
+    assert isinstance(rec.finalize(), str)
+
+
 def test_greedy_collapse():
     B = vocabulary.BLANK_ID
     assert greedy_collapse(np.array([0, 0, B, 1, B, B, 1])) == [0, 1, 1]
