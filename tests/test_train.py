@@ -162,6 +162,62 @@ def test_accumulating_step_matches_per_step_metrics(harness):
     )
 
 
+def test_train_loop_applies_plateau_decay(tmp_path):
+    """The real _train_loop must decay the lr exactly when a checkpoint's
+    accumulated loss exceeds the max of the last three (reference
+    training.py:82-84), driven by a deterministic stub step."""
+    from types import SimpleNamespace
+
+    from speecht_tpu import training as trmod
+    from speecht_tpu.train.metrics_writer import SummaryWriter
+    from speecht_tpu.train.state import TrainState
+
+    t = trmod.Training.__new__(trmod.Training)
+    t.flags = SimpleNamespace(
+        steps_per_checkpoint=1,
+        learning_rate_decay_factor=0.5,
+        verbose_summaries=False,
+    )
+    t.mesh = None
+    t.create_loader = lambda: iter(range(5))  # 5 dummy batches
+    t._latest_state = None
+
+    # checkpoint losses: 10, 10, 10, 12 (> max of last 3 -> decay), 11
+    losses = iter([10.0, 10.0, 10.0, 12.0, 11.0])
+
+    def stub_step(state, acc, _batch):
+        loss = next(losses)
+        acc = {
+            "loss_sum": acc["loss_sum"] + loss,
+            "grad_norm_sum": acc["grad_norm_sum"] + 1.0,
+            "count": acc["count"] + 1.0,
+        }
+        return (
+            TrainState(
+                params=state.params,
+                opt_state=state.opt_state,
+                step=state.step + 1,
+                learning_rate=state.learning_rate,
+            ),
+            acc,
+        )
+
+    state = TrainState(
+        params={"w": jnp.zeros(4)},
+        opt_state=(),
+        step=jnp.zeros((), jnp.int32),
+        learning_rate=jnp.float32(1.0),
+    )
+    saves = []
+    ckpt = SimpleNamespace(save=lambda s, wait=False: saves.append(s))
+    writer = SummaryWriter(str(tmp_path))
+    out = t._train_loop(state, stub_step, writer, ckpt, None)
+    writer.close()
+    # exactly one decay (the 12-loss checkpoint); 11 > max(10,10,12) fails
+    assert float(out.learning_rate) == pytest.approx(0.5)
+    assert len(saves) == 5  # a checkpoint per interval
+
+
 class TestDeviceSummaries:
     def test_device_histogram_matches_numpy(self):
         from speecht_tpu.train import summaries
