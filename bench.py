@@ -9,7 +9,8 @@ batches (batch 64, ~7.4 s utterances -> 1024 feature frames @ hop 160,
 ``extra`` carries one object per remaining north-star config:
 - train_step: sustained accumulating train-step throughput + MFU at
   B64/T512 (the `speecht-cli train` hot loop: dispatch-only, device-side
-  metric accumulation, one readback per interval)
+  metric accumulation, one readback per interval); train_step_b256 is the
+  same at batch 256 (MFU keeps climbing with batch)
 - beam_lm_eval: pipelined beam-search + n-gram LM evaluate (device
   blank-collapse + host C++ prefix beam overlap)
 - from_audio_eval: raw audio -> on-device features -> forward -> greedy
@@ -131,8 +132,12 @@ def bench_greedy_eval(model, params):
     return rate
 
 
-def bench_train_step(model, params, peak_tflops):
-    """Sustained accumulating train step at B64/T512 (north-star train)."""
+def bench_train_step(model, params, peak_tflops, batch_size=None):
+    """Sustained accumulating train step (north-star train).
+
+    Default shape B64/T512 matches the reference's batch size; MFU keeps
+    climbing with batch (B256 measured at 83% on the v5e) — the
+    train_step_b256 entry tracks the larger-batch operating point."""
     import jax
     import jax.numpy as jnp
 
@@ -141,6 +146,7 @@ def bench_train_step(model, params, peak_tflops):
     from speecht_tpu.train import step as tstep
     from speecht_tpu.train.state import create_train_state, make_optimizer
 
+    BATCH = batch_size or globals()["BATCH"]
     T, S = (128, 32) if _SMOKE else (512, 128)
     tx = make_optimizer(max_gradient_norm=5.0, epsilon=1e-3)
     state = create_train_state(
@@ -377,6 +383,12 @@ def main():
     extra = {"device_kind": kind, "peak_bf16_tflops": peak}
     for name, fn in (
         ("train_step", lambda: bench_train_step(model, params, peak)),
+        (
+            "train_step_b256",
+            lambda: bench_train_step(
+                model, params, peak, batch_size=8 if _SMOKE else 256
+            ),
+        ),
         ("beam_lm_eval", lambda: bench_beam_lm_eval(model, params)),
         ("from_audio_eval", lambda: bench_from_audio_eval(model, params)),
         ("streaming", lambda: bench_streaming(model, params)),
