@@ -220,6 +220,124 @@ class TestKenlmBinary:
         np.testing.assert_array_equal(a, b)
         assert vocabulary.ids_to_sentence(b).strip() == "the dog"
 
+    def test_independent_python_parse_agrees(self, lm_dir, binary_path):
+        """Third implementation: parse the binary with a pure-Python
+        struct walker (murmur + chained hashes re-implemented here) and
+        check unigram/bigram probabilities against the ARPA source — the
+        C++ writer, C++ reader, and this parser must all agree on the
+        byte layout."""
+        import struct
+
+        data = open(binary_path, "rb").read()
+
+        def u64(off):
+            return struct.unpack_from("<Q", data, off)[0]
+
+        def u32(off):
+            return struct.unpack_from("<I", data, off)[0]
+
+        def f32(off):
+            return struct.unpack_from("<f", data, off)[0]
+
+        # sanity canaries
+        off = data.index(struct.pack("<fff", 0.0, 1.0, -0.5))
+        assert u32(off + 12) == 1 and u32(off + 16) == 0xFFFFFFFF
+        u64_off = off + 20
+        u64_off += (-u64_off) % 8
+        assert u64(u64_off) == 1
+        sanity_end = u64_off + 8 + (-(u64_off + 8)) % 8
+
+        order = data[sanity_end]
+        multiplier = f32(sanity_end + 4)
+        model_type = u32(sanity_end + 8)
+        has_vocab = data[sanity_end + 12]
+        assert order == 2 and model_type == 0 and has_vocab == 1
+        counts = [u64(sanity_end + 20 + 8 * i) for i in range(order)]
+        assert counts == [7, 4]  # the ARPA fixture's ngram counts
+        header_end = sanity_end + 20 + 8 * order
+        header_end += (-header_end) % 8
+
+        def buckets(entries):
+            return max(entries + 1, int(multiplier * entries))
+
+        # word strings (id order) at the end of the file
+        vocab_table = header_end + 8
+        unigram = vocab_table + buckets(counts[0]) * 12
+        longest = unigram + (counts[0] + 1) * 8
+        strings = longest + buckets(counts[1]) * 12
+        words = data[strings:].rstrip(b"\0").split(b"\0")
+        words = [w.decode() for w in words]
+        assert words[0] == "<unk>"
+        ids = {w: i for i, w in enumerate(words)}
+
+        # unigram array: direct [prob, backoff] per word id
+        arpa = native.NGramLM(str(lm_dir / "model.arpa"))
+
+        def uni(word):
+            base = unigram + ids[word] * 8
+            return f32(base), f32(base + 4)
+
+        assert uni("the")[0] == pytest.approx(-0.9)
+        assert uni("the")[1] == pytest.approx(-0.3)
+        assert uni("cat")[0] == pytest.approx(-1.2)
+
+        # bigram: chained word-id hash, linear probing over the longest
+        # table (order 2 -> no middle tables)
+        def murmur64(key: bytes, seed=0):
+            m = 0xC6A4A7935BD1E995
+            r = 47
+            mask = (1 << 64) - 1
+            h = (seed ^ (len(key) * m)) & mask
+            for i in range(0, len(key) - 7, 8):
+                k = int.from_bytes(key[i : i + 8], "little")
+                k = (k * m) & mask
+                k ^= k >> r
+                k = (k * m) & mask
+                h = ((h ^ k) * m) & mask
+            tail = key[len(key) - (len(key) & 7) :]
+            if tail:
+                h ^= int.from_bytes(tail, "little")
+                h = (h * m) & mask
+            h ^= h >> r
+            h = (h * m) & mask
+            h ^= h >> r
+            return h
+
+        # vocab hash table maps murmur64(word) -> id; verify one entry
+        nb = buckets(counts[0])
+        key = murmur64(b"the")
+        b = key % nb
+        for _ in range(nb):
+            k = u64(vocab_table + b * 12)
+            assert k != 0, "hit empty slot before finding 'the'"
+            if k == key:
+                assert u32(vocab_table + b * 12 + 8) == ids["the"]
+                break
+            b = (b + 1) % nb
+
+        def ngram_hash(id_list):
+            mask = (1 << 64) - 1
+            h = id_list[0]
+            for nxt in id_list[1:]:
+                h = (
+                    (h * 8978948897894561157) ^ ((1 + nxt) * 17894857484156487943)
+                ) & mask
+            return h or 1
+
+        nb2 = buckets(counts[1])
+        key = ngram_hash([ids["the"], ids["cat"]])
+        b = key % nb2
+        found = None
+        for _ in range(nb2):
+            k = u64(longest + b * 12)
+            assert k != 0, "hit empty slot before finding 'the cat'"
+            if k == key:
+                found = f32(longest + b * 12 + 8)
+                break
+            b = (b + 1) % nb2
+        assert found == pytest.approx(-0.3)  # ARPA's P(cat|the)
+        assert arpa.score_word("the", "cat") == pytest.approx(-0.3)
+
     def test_corrupt_binary_fails_loudly(self, tmp_path, binary_path):
         data = bytearray(open(binary_path, "rb").read())
         data[200:] = data[200:][::-1]  # scramble everything past the header
