@@ -153,6 +153,12 @@ class CLI:
             "histograms every checkpoint step (reference "
             "speech_model.py:49-51,158-178).",
         )
+        p.add_argument(
+            "--seq-parallel", dest="seq_parallel", type=int, default=0,
+            help="Shard the time axis of the conv stack over this many "
+            "devices (halo-exchange sequence parallelism) — train on "
+            "utterances too long for one chip.",
+        )
 
     def _add_evaluation_parser(self):
         p = self.subparsers.add_parser(

@@ -82,6 +82,7 @@ class TrainConfig(BaseConfig):
     steps_per_checkpoint: int = 1000
     epsilon: float = 1e-3  # Adam epsilon (reference speech_model.py:77)
     verbose_summaries: bool = False  # logits/filter/bias images + act hists
+    seq_parallel: int = 0  # time-shard the conv stack over N devices
     run_type: str = "train"
 
 

@@ -52,8 +52,10 @@ def make_loss_fn(model: Wav2Letter) -> Callable:
     return loss_fn
 
 
-def _make_update_fn(model: Wav2Letter, tx: optax.GradientTransformation):
-    loss_fn = make_loss_fn(model)
+def _make_update_fn(
+    model: Wav2Letter, tx: optax.GradientTransformation, loss_fn=None
+):
+    loss_fn = loss_fn or make_loss_fn(model)
 
     def update(state: TrainState, batch):
         (avg_loss, _logits), grads = jax.value_and_grad(
@@ -106,7 +108,7 @@ def init_metrics_acc():
 
 
 def make_train_step_acc(
-    model: Wav2Letter, tx: optax.GradientTransformation
+    model: Wav2Letter, tx: optax.GradientTransformation, loss_fn=None
 ) -> Callable:
     """Accumulating train step: (state, acc, batch) -> (state, acc).
 
@@ -115,10 +117,12 @@ def make_train_step_acc(
     training loop never reads a scalar back from the device between
     checkpoints — the hot loop stays dispatch-only, matching the reference's
     single ``sess.run`` with in-graph dequeue (reference training.py:57-90),
-    which also never syncs more than it must. The host fetches the
+    which also never syncs more than it must. ``loss_fn`` overrides the
+    dense CTC loss (e.g. the sequence-parallel loss from
+    parallel/seq_parallel.py for ``train --seq-parallel``). The host fetches the
     accumulator once per ``steps_per_checkpoint``.
     """
-    update = _make_update_fn(model, tx)
+    update = _make_update_fn(model, tx, loss_fn)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(state: TrainState, acc, batch):

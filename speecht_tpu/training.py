@@ -56,6 +56,24 @@ def should_decay_learning_rate(
 
 
 class Training(DatasetExecutor):
+    @property
+    def seq_parallel(self) -> int:
+        return int(getattr(self.flags, "seq_parallel", 0) or 0)
+
+    def create_mesh(self):
+        if self.seq_parallel > 1:
+            n = self.seq_parallel
+            # slabs must cover the widest kernel (48): pad time buckets to
+            # at least 96 frames per shard (same rule as SP evaluate)
+            min_bucket = 96 * n
+            if self.flags.bucket_step < min_bucket:
+                print(
+                    f"seq-parallel {n}: raising --bucket-step to {min_bucket}"
+                )
+                self.flags.bucket_step = min_bucket
+            return pmesh.make_mesh(data_parallel=1, model_parallel=n)
+        return super().create_mesh()
+
     def create_sample_generator(self, limit_count: int):
         return self.reader.load_samples(
             "train",
@@ -87,7 +105,16 @@ class Training(DatasetExecutor):
         if restored:
             print(f"Restored model at step {int(state.step)}")
 
-        train_step = tstep.make_train_step_acc(self.model, tx)
+        sp_loss_fn = None
+        if self.seq_parallel > 1:
+            # long-utterance training: time-shard the conv stack (halo
+            # exchange) instead of discarding what does not fit one chip
+            from speecht_tpu.parallel.seq_parallel import make_sp_loss_fn
+
+            sp_loss_fn = make_sp_loss_fn(self.model, self.mesh)
+        train_step = tstep.make_train_step_acc(
+            self.model, tx, loss_fn=sp_loss_fn
+        )
         writer = SummaryWriter(
             os.path.join(flags.log_dir, f"{flags.run_name}_{flags.run_type}")
         )

@@ -279,6 +279,48 @@ def test_max_input_frames_skips_long_utterances(workdir, capsys, caplog):
     assert stats.decodings_counter == 1
 
 
+def test_train_seq_parallel_matches_dense(workdir, capsys):
+    # one SP training step through the CLI must produce the same updated
+    # parameters as a dense step (same init seed, same single utterance)
+    import jax
+    import numpy as np
+
+    from speecht_tpu.train.checkpoint import CheckpointManager
+
+    for name, extra in (
+        ("e2e-spd", []),
+        ("e2e-sp2", ["--seq-parallel", "2"]),
+    ):
+        run_cli(
+            workdir,
+            "train",
+            "--run-name", name,
+            "--max-steps", "1",
+            "--steps-per-checkpoint", "1",
+            *extra,
+        )
+    capsys.readouterr()
+
+    def params_of(name):
+        from speecht_tpu.config import TrainConfig
+        from speecht_tpu.execution import build_model, init_state
+
+        model = build_model(128, TrainConfig())
+        state, _ = init_state(model, TrainConfig())
+        mgr = CheckpointManager(str(workdir / "train" / name))
+        state = mgr.restore(state)
+        mgr.close()
+        return state.params
+
+    dense, sp = params_of("e2e-spd"), params_of("e2e-sp2")
+    for a, b in zip(
+        jax.tree_util.tree_leaves(dense), jax.tree_util.tree_leaves(sp)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+        )
+
+
 def test_evaluate_seq_parallel_matches_dense(workdir, capsys):
     # long-utterance SP evaluate through the CLI: 2-way time shard must
     # reproduce the dense greedy decode exactly

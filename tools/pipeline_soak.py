@@ -47,16 +47,18 @@ acc = tstep.init_metrics_acc()
 
 with pmesh.use_mesh(t.mesh):
     loader = t.create_loader()
-    times = []
-    last = None
+    start = None
+    n_timed = 0
     for i, batch in enumerate(loader):
-        start = time.perf_counter()
         state, acc = train_step(state, acc, batch)
-        if i >= 20:
-            np.asarray(acc["count"])  # measure true sustained (synced) rate
-            times.append(time.perf_counter() - start)
+        if i == 19:
+            np.asarray(acc["count"])  # drain warmup/compile
+            start = time.perf_counter()
+        elif i >= 20:
+            n_timed += 1
         if i == 120:
             break
-m = np.median(times)
-print(f"sustained pipeline step: median {m*1000:.0f} ms  p90 {np.percentile(times,90)*1000:.0f} ms  (B64, ~512-frame utts, group-by-length, bf16 wire)")
+    np.asarray(acc["count"])  # one sync at the end: dispatch-only loop
+    elapsed = time.perf_counter() - start
+print(f"sustained pipeline step: {1000*elapsed/n_timed:.0f} ms over {n_timed} steps (B64, ~512-frame utts, group-by-length, bf16 wire; dispatch-only loop)")
 print(f"loss after {i} steps: {float(acc['loss_sum'])/max(float(acc['count']),1):.1f}")
