@@ -73,6 +73,18 @@ class CLI:
             default="bfloat16", choices=["bfloat16", "float32"],
             help="Dtype for the host->device feature transfer.",
         )
+        # model-size flags (defaults = the reference's exact Wav2Letter,
+        # speech_model.py:275-295; change for scaling studies — checkpoints
+        # only load with matching sizes)
+        p.add_argument(
+            "--base-channels", dest="base_channels", type=int, default=250,
+        )
+        p.add_argument(
+            "--wide-channels", dest="wide_channels", type=int, default=2000,
+        )
+        p.add_argument(
+            "--num-body-layers", dest="num_body_layers", type=int, default=7,
+        )
         p.add_argument(
             "--group-by-length", dest="group_by_length",
             action="store_true",

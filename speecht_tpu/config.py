@@ -36,6 +36,10 @@ class BaseConfig:
     # TPU-native additions
     data_parallel: int = 0  # 0 = use all devices on the data axis
     model_parallel: int = 1  # channel-TP over the 2000-wide layers
+    # model-size knobs (defaults = the reference network exactly)
+    base_channels: int = 250
+    wide_channels: int = 2000
+    num_body_layers: int = 7
     compute_dtype: str = "bfloat16"  # conv compute dtype (params stay f32)
     max_input_frames: int = 0  # 0 = unlimited; else skip longer utterances
     bucket_step: int = 256  # pad time to multiples of this (jit shape reuse)

@@ -30,10 +30,14 @@ from speecht_tpu import vocabulary
 
 
 def build_model(input_size: int, flags) -> Wav2Letter:
-    """Wav2Letter with reference dimensions (speech_model.py:270-295)."""
+    """Wav2Letter with reference dimensions (speech_model.py:270-295) by
+    default; --base-channels/--wide-channels/--num-body-layers scale it."""
     cfg = Wav2LetterConfig(
         input_size=input_size,
         num_classes=vocabulary.NUM_CLASSES,
+        base_channels=getattr(flags, "base_channels", 250),
+        wide_channels=getattr(flags, "wide_channels", 2000),
+        num_body_layers=getattr(flags, "num_body_layers", 7),
         compute_dtype=getattr(flags, "compute_dtype", "bfloat16"),
     )
     return Wav2Letter(cfg)

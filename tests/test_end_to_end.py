@@ -11,6 +11,7 @@ metrics, weight export.
 import os
 import shutil
 
+import jax
 import numpy as np
 import pytest
 
@@ -389,6 +390,34 @@ def test_mfcc_pipeline(workdir, capsys):
     )
     assert stats.decodings_counter == 1
     capsys.readouterr()
+
+
+def test_model_size_flags(workdir, capsys):
+    # a scaled-down network trains and evaluates through the CLI; the
+    # exported kernel shapes reflect the flags
+    size = [
+        "--base-channels", "32",
+        "--wide-channels", "64",
+        "--num-body-layers", "2",
+    ]
+    state = run_cli(
+        workdir,
+        "train", "--run-name", "e2e-small",
+        "--max-steps", "1", "--steps-per-checkpoint", "1", *size,
+    )
+    assert int(state.step) == 1
+    k8 = jax.tree_util.tree_leaves(
+        {"k": state.params["conv_3"]["kernel"]}
+    )[0]
+    assert k8.shape == (32, 32, 64)  # wide layer at the scaled width
+    stats = run_cli(
+        workdir,
+        "evaluate", "--test", "--step-count", "1", "--no-save",
+        "--run-name", "e2e-small", *size,
+    )
+    capsys.readouterr()
+    assert stats.decodings_counter == 1
+
 
 
 def test_export(workdir):
