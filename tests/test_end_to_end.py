@@ -42,6 +42,9 @@ def workdir(tmp_path_factory):
     # pre-mark every corpus set as extracted so no download is attempted
     for set_type, set_name in corpus_mod.DATA_SETS:
         (data / set_type / set_name).mkdir(parents=True, exist_ok=True)
+    # build the feature cache up front so every test is independently
+    # runnable (test_preprocess re-runs it, which also covers idempotence)
+    run_cli(root, "preprocess", "--num-workers", "1")
     return root
 
 
