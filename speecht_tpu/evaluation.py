@@ -44,9 +44,8 @@ class Evaluation(DatasetExecutor):
     def create_mesh(self):
         if self.seq_parallel > 1:
             n = self.seq_parallel
-            if self.from_audio or getattr(
-                self.flags, "lm", None
-            ) and self.flags.lm.language_model:
+            lm = getattr(self.flags, "lm", None)
+            if self.from_audio or (lm is not None and lm.language_model):
                 raise ValueError(
                     "--seq-parallel combines only with the cached-feature "
                     "greedy evaluate (not --from-audio/--language-model)"
