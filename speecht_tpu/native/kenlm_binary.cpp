@@ -344,6 +344,10 @@ bool KenlmBinaryScorer::load(const char* path, std::string* err) {
     *err = "implausible order " + std::to_string(order_);
     return false;
   }
+  if (!(multiplier >= 1.0f && multiplier <= 100.0f)) {  // NaN-safe
+    *err = "implausible probing multiplier (corrupt header?)";
+    return false;
+  }
   if (model_type != kModelTypeProbing) {
     *err = "unsupported KenLM model type " + std::to_string(model_type) +
            " (only PROBING=0 is supported; rebuild the binary with "
@@ -357,9 +361,20 @@ bool KenlmBinaryScorer::load(const char* path, std::string* err) {
     return false;
   }
   uint64_t counts_off = sanity_end + 20;
+  if (counts_off + 8ull * order_ > data_.size()) {
+    *err = "truncated header";
+    return false;
+  }
   counts_.resize(order_);
-  for (int i = 0; i < order_; ++i)
+  for (int i = 0; i < order_; ++i) {
     counts_[i] = read_u64(data_.data() + counts_off + 8ull * i);
+    // guard the layout arithmetic against overflow from corrupt counts:
+    // even the largest published LMs are << 2^40 n-grams
+    if (counts_[i] > (1ull << 40)) {
+      *err = "implausible n-gram count (corrupt header?)";
+      return false;
+    }
+  }
   uint64_t header_end = align8(counts_off + 8ull * order_);
 
   // solve the layout: vocabulary-table and unigram slot counts vary by
@@ -372,9 +387,15 @@ bool KenlmBinaryScorer::load(const char* path, std::string* err) {
     for (uint64_t us : uni_options) {
       Layout lay = compute_layout(header_end, order_, counts_, multiplier,
                                   ve, us);
+      // every table must lie inside the file (monotonic offsets also rule
+      // out arithmetic wrap-around)
+      bool sane = lay.vocab_table >= lay.vocab_header &&
+                  lay.unigram >= lay.vocab_table &&
+                  lay.longest >= lay.unigram &&
+                  lay.strings >= lay.longest &&
+                  lay.strings <= data_.size();
       std::vector<std::string> words;
-      if (lay.strings <= data_.size() &&
-          parse_strings(data_, lay.strings, &words)) {
+      if (sane && parse_strings(data_, lay.strings, &words)) {
         lay_ = lay;
         words_ = std::move(words);
         solved = true;

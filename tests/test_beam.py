@@ -346,6 +346,27 @@ class TestKenlmBinary:
         with pytest.raises(ValueError):
             native.NGramLM(str(bad))
 
+    def test_fuzzed_binaries_never_crash(self, tmp_path, binary_path):
+        """Random corruptions must either load (benign bit flips) or raise
+        ValueError — never read out of bounds / crash the process."""
+        good = bytearray(open(binary_path, "rb").read())
+        rng = np.random.RandomState(0)
+        for trial in range(60):
+            data = bytearray(good)
+            for _ in range(rng.randint(1, 8)):
+                pos = rng.randint(0, len(data))
+                data[pos] = rng.randint(0, 256)
+            if rng.rand() < 0.3:  # also truncate sometimes
+                data = data[: rng.randint(8, len(data))]
+            bad = tmp_path / f"fuzz-{trial}.binary"
+            bad.write_bytes(bytes(data))
+            try:
+                lm = native.NGramLM(str(bad))
+                # survivors must still answer queries without crashing
+                lm.score_word("the", "cat")
+            except ValueError:
+                pass
+
 
 class TestPipelinedEvalBatches:
     def test_matches_sequential_eval_step(self, lm_dir):
