@@ -425,6 +425,46 @@ class TestPipelinedEvalBatches:
             np.testing.assert_array_equal(len_p, len_s)
 
 
+def test_record_decode_path_single_batch_no_labels(lm_dir):
+    """The record command decodes label-less batch-of-one inputs
+    (reference SingleInputLoader, speech_input.py:79-127): both the greedy
+    eval step and the LM beam must handle the empty label row."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from speecht_tpu.config import LanguageModelConfig
+    from speecht_tpu.data.pipeline import single_batch
+    from speecht_tpu.models.wav2letter import Wav2Letter, Wav2LetterConfig
+    from speecht_tpu.ops.beam import BeamSearchDecoder
+    from speecht_tpu.train import step as tstep
+
+    cfg = Wav2LetterConfig(
+        input_size=8,
+        base_channels=16,
+        wide_channels=32,
+        num_body_layers=2,
+        compute_dtype="float32",
+    )
+    model = Wav2Letter(cfg)
+    params = nn.meta.unbox(
+        model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 8)))["params"]
+    )
+    feats = np.random.RandomState(0).randn(40, 8).astype(np.float32)
+    batch = single_batch(feats, time_bucket=64)
+    assert batch.label_lengths.tolist() == [0]
+
+    loss_g, dec_g, len_g = tstep.make_eval_step(model)(params, batch)
+    assert np.isfinite(float(loss_g))
+    assert dec_g.shape[0] == 1 and int(len_g[0]) >= 0
+
+    beam = BeamSearchDecoder(
+        model, LanguageModelConfig(language_model=str(lm_dir), beam_width=8)
+    )
+    loss_b, dec_b, len_b = beam.eval_step(params, batch)
+    assert dec_b.shape[0] == 1 and int(len_b[0]) >= 0
+
+
 class TestShallowFusion:
     def test_valid_word_bonus_steers_decoding(self, lm_dir):
         lm = native.NGramLM(
