@@ -128,6 +128,32 @@ class Training(DatasetExecutor):
 
         print("Begin training")
         self._latest_state = state
+        self._stop_requested = False
+
+        # Preemption/interrupt safety: SIGINT (ctrl-C) and SIGTERM (cloud
+        # schedulers send it before evicting a worker) request a *deferred*
+        # stop — the loop finishes the in-flight step and exits at a step
+        # boundary. Raising immediately inside the handler could land while
+        # the donated state is mid-dispatch, leaving _latest_state pointing
+        # at a deleted buffer and losing the crash-save. A second signal
+        # forces an immediate KeyboardInterrupt.
+        import signal
+
+        def _request_stop(_signum, _frame):
+            if self._stop_requested:
+                raise KeyboardInterrupt
+            self._stop_requested = True
+            print(
+                "\nstop requested -- finishing the current step", flush=True
+            )
+
+        prev_handlers = []
+        try:
+            for sig in (signal.SIGINT, signal.SIGTERM):
+                prev_handlers.append((sig, signal.signal(sig, _request_stop)))
+        except ValueError:
+            pass  # not the main thread (tests); default handling applies
+
         try:
             state = self._train_loop(
                 state, train_step, writer, ckpt, profile_range
@@ -139,6 +165,8 @@ class Training(DatasetExecutor):
             print("\nInterrupted -- saving checkpoint before exit")
             state = self._latest_state
         finally:
+            for sig, handler in prev_handlers:
+                signal.signal(sig, handler)
             ckpt.save(self._latest_state, wait=True)
             ckpt.close()
             writer.close()
@@ -202,6 +230,15 @@ class Training(DatasetExecutor):
                 state, acc = train_step(state, acc, batch)
                 self._latest_state = state
                 global_step += 1
+
+                if getattr(self, "_stop_requested", False):
+                    # deferred SIGINT/SIGTERM: exit at a step boundary so
+                    # the crash-save sees a live (non-donated) state
+                    print(
+                        "\nInterrupted -- saving checkpoint before exit",
+                        flush=True,
+                    )
+                    return state
 
                 if profiling == "wallclock":
                     import numpy as _np

@@ -433,3 +433,50 @@ def test_export(workdir):
     assert len(written) == 22  # 11 conv layers x (kernel, bias)
     kernel0 = np.load(workdir / "weights" / "conv_0" / "kernel.npy")
     assert kernel0.shape == (48, 128, 250)
+
+
+def test_sigterm_saves_checkpoint(workdir):
+    """Preemption drill: SIGTERM mid-training must crash-save the latest
+    step (cloud schedulers send SIGTERM before evicting a worker)."""
+    import signal
+    import subprocess
+    import sys
+    import time as time_mod
+
+    script = f"""
+import sys
+sys.path.insert(0, {repr(os.getcwd())})
+from speecht_tpu import runtime
+runtime.honor_platform_env()
+from speecht_tpu.cli import main
+main([
+    "train", "--run-name", "e2e-term", "--batch-size", "1",
+    "--steps-per-checkpoint", "1000",
+    "--data-dir", {repr(str(workdir / 'data'))},
+    "--train-dir", {repr(str(workdir / 'train'))},
+    "--log-dir", {repr(str(workdir / 'log'))},
+])
+"""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", script],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+        env=env,
+    )
+    # give it time to compile and take a few steps, then preempt
+    deadline = time_mod.time() + 240
+    run_dir = workdir / "train" / "e2e-term"
+    time_mod.sleep(20)
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=deadline - time_mod.time())
+    assert "Interrupted -- saving checkpoint before exit" in out, out[-2000:]
+    assert proc.returncode == 0, out[-2000:]
+
+    from speecht_tpu.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(run_dir))
+    saved = mgr.latest_step()
+    mgr.close()
+    assert saved is not None and saved >= 1, saved
