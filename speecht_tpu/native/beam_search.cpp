@@ -474,6 +474,10 @@ int st_ctc_beam_search(
   // frame index, so neither clearing nor hashing is needed
   std::vector<Cand> next;
   next.reserve(4096);
+  std::vector<double> totals;
+  std::vector<int32_t> order;
+  std::vector<Cand> pruned;
+  pruned.reserve(beam_width);
   int64_t stamp = 0;
 
   auto get_slot = [&](int32_t node) -> Cand& {
@@ -541,34 +545,39 @@ int st_ctc_beam_search(
 
     // prune to beam_width by total score, after a cheap score-gap prune:
     // candidates more than kPruneGap nats below the frame's best carry
-    // ~e^-20 of its probability and cannot re-enter the beam
+    // ~e^-20 of its probability and cannot re-enter the beam. Totals are
+    // computed once per candidate (log_add is the inner-loop cost).
     if ((int)next.size() > beam_width) {
       constexpr double kPruneGap = 20.0;
+      totals.resize(next.size());
       double best_total = -1e300;
-      for (const Cand& c : next) {
-        double t = c.total(arena);
-        if (t > best_total) best_total = t;
+      for (size_t i = 0; i < next.size(); ++i) {
+        totals[i] = next[i].total(arena);
+        if (totals[i] > best_total) best_total = totals[i];
       }
       size_t kept = 0;
       for (size_t i = 0; i < next.size(); ++i) {
-        if (next[i].total(arena) >= best_total - kPruneGap) {
-          if (kept != i) {
-            // keep the stamped slot index consistent after compaction
-            arena.nodes[next[i].node].slot_idx = (int32_t)kept;
-            next[kept] = next[i];
-          }
+        if (totals[i] >= best_total - kPruneGap) {
+          // keep the stamped slot index consistent after compaction
+          arena.nodes[next[i].node].slot_idx = (int32_t)kept;
+          next[kept] = next[i];
+          totals[kept] = totals[i];
           ++kept;
         }
       }
       next.resize(kept);
-    }
-    if ((int)next.size() > beam_width) {
-      std::partial_sort(
-          next.begin(), next.begin() + beam_width, next.end(),
-          [&](const Cand& a, const Cand& b) {
-            return a.total(arena) > b.total(arena);
-          });
-      next.resize(beam_width);
+      if ((int)next.size() > beam_width) {
+        // order an index array by cached totals, then apply
+        order.resize(next.size());
+        for (size_t i = 0; i < order.size(); ++i) order[i] = (int32_t)i;
+        std::partial_sort(
+            order.begin(), order.begin() + beam_width, order.end(),
+            [&](int32_t a, int32_t b) { return totals[a] > totals[b]; });
+        pruned.clear();
+        for (int i = 0; i < beam_width; ++i)
+          pruned.push_back(next[order[i]]);
+        next.swap(pruned);
+      }
     }
     beam.assign(next.begin(), next.end());
   }
