@@ -146,9 +146,9 @@ def _frame_batch(
     # right boundary: the last frames of EACH utterance reach past its own
     # num_samples; their position is dynamic, so patch a fixed-width window
     # [t_r, t_r + n_right) per utterance with dynamic_update_slice
-    n_right = n_left + 2  # frames with t*hop + pad > num_samples, +margin
+    n_right = min(n_left + 2, T)  # frames with t*hop + pad > num_samples
     t_i = 1 + num_samples.astype(jnp.int32) // hop_length
-    t_r = jnp.clip(t_i - n_right, 0, T - n_right)
+    t_r = jnp.clip(t_i - n_right, 0, max(T - n_right, 0))
     right_t = t_r[:, None] + jnp.arange(n_right, dtype=jnp.int32)[None, :]
     right_rows = _reflect_rows(audio, num_samples, right_t, n_fft, hop_length)
 

@@ -144,3 +144,25 @@ class TestDeviceFeatureParity:
             np.testing.assert_allclose(
                 feats[i, :T], host, atol=2e-2, rtol=1e-2
             )
+
+
+def test_device_framing_tiny_audio():
+    """Utterances shorter than the boundary patch window (frames < 4) must
+    still frame exactly (the right-boundary fix-up clamps to T)."""
+    import jax.numpy as jnp
+
+    from speecht_tpu.data import features as F
+    from speecht_tpu.data import features_tpu as FT
+
+    audio = np.random.RandomState(0).randn(2, 400).astype(np.float32) * 0.1
+    ns = np.array([400, 350], np.int32)
+    feats, fl = FT.batch_power_spectrogram(jnp.asarray(audio), jnp.asarray(ns))
+    assert feats.shape[1] == 3  # 1 + 400 // 160
+    for i in range(2):
+        ref = F.calc_power_spectrogram(audio[i][: ns[i]], 22050)
+        np.testing.assert_allclose(
+            np.asarray(feats)[i, : int(fl[i])],
+            ref[: int(fl[i])],
+            rtol=2e-4,
+            atol=2e-4,
+        )
