@@ -135,7 +135,7 @@ def _frame_batch(
     frames = frames_wide[..., :n_fft]
 
     # left boundary: frames 0..ceil(pad/hop)-1 reach before sample 0
-    n_left = -(-pad // hop_length)
+    n_left = min(-(-pad // hop_length), T)
     left_t = jnp.broadcast_to(
         jnp.arange(n_left, dtype=jnp.int32)[None, :], (B, n_left)
     )
