@@ -1,0 +1,371 @@
+"""On-device beam search (`ops/beam_device.py`) vs the host C++ oracle.
+
+The host prefix beam (`native/beam_search.cpp`) mirrors the reference's
+forked ctc_beam_search_decoder semantics and is itself pinned against brute
+force + TF (tests/test_beam.py); here the device search is held to it:
+
+- no LM: exact output equality across random emissions, widths, batches;
+- with LM: exact equality in the no-pruning regime (beam wide enough to
+  hold every reachable prefix — any semantic difference MUST show), and
+  near-total equality with bounded score margins in the pruned regime
+  (residual divergence is f64-host vs f32-device tie-breaking at the beam
+  boundary, direction-free by construction);
+- the DeviceLM table scorer is compared exhaustively to the host ARPA
+  scorer (same backoff walk, <unk> floor, valid-word set).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from speecht_tpu import native, vocabulary
+from speecht_tpu.ops import beam_device
+
+ARPA = """\\data\\
+ngram 1=8
+ngram 2=5
+ngram 3=2
+
+\\1-grams:
+-1.0\t<unk>
+-0.5\t<s>\t-0.4
+-0.6\t</s>
+-0.9\tthe\t-0.3
+-1.2\tcat\t-0.2
+-1.4\tsat\t-0.25
+-1.1\ta\t-0.15
+-1.6\tmat\t-0.1
+
+\\2-grams:
+-0.3\tthe cat\t-0.1
+-0.25\t<s> the\t-0.2
+-0.5\tcat sat\t-0.05
+-0.6\ta mat
+-0.45\tsat a
+
+\\3-grams:
+-0.2\tthe cat sat
+-0.35\tcat sat a
+
+\\end\\
+"""
+
+
+@pytest.fixture(scope="module")
+def lm_dir():
+    with tempfile.TemporaryDirectory() as d:
+        with open(os.path.join(d, "model.arpa"), "w") as f:
+            f.write(ARPA)
+        with open(os.path.join(d, "vocabulary"), "w") as f:
+            f.write("the\ncat\nsat\nmat\n")  # note: no "a" — bonus differs
+        yield d
+
+
+@pytest.fixture(scope="module")
+def host_lm(lm_dir):
+    return native.NGramLM(
+        os.path.join(lm_dir, "model.arpa"),
+        os.path.join(lm_dir, "vocabulary"),
+    )
+
+
+@pytest.fixture(scope="module")
+def dev_lm(lm_dir):
+    return beam_device.DeviceLM(
+        os.path.join(lm_dir, "model.arpa"),
+        os.path.join(lm_dir, "vocabulary"),
+    )
+
+
+def _host_decode(logp_row, width, lm, lw, wc, vw):
+    return [
+        int(x)
+        for x in native.ctc_beam_search(
+            logp_row,
+            beam_width=width,
+            lm=lm,
+            lm_weight=lw,
+            word_count_weight=wc,
+            valid_word_count_weight=vw,
+            blank_id=vocabulary.BLANK_ID,
+        )
+    ]
+
+
+def _logp(rng, B, T, scale=3.0, favored=None, boost=0.0):
+    logits = (rng.randn(B, T, vocabulary.NUM_CLASSES) * scale).astype(
+        np.float32
+    )
+    if favored is not None:
+        logits[:, :, favored] += (
+            rng.rand(B, T, len(favored)).astype(np.float32) * boost
+        )
+    return logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+
+
+class TestNoLM:
+    def test_matches_host_exactly(self):
+        rng = np.random.RandomState(7)
+        for width in (4, 16):
+            fn = beam_device.make_device_beam_search(width)
+            for _ in range(10):
+                T = rng.randint(3, 40)
+                logp = _logp(rng, 1, T)
+                wc = float(rng.choice([0.0, 0.8, -0.5]))
+                ids, lens = fn(
+                    logp, np.array([T], np.int32), 0.0, wc, 0.0
+                )
+                dev = [int(x) for x in np.asarray(ids)[0][: int(lens[0])]]
+                ref = _host_decode(logp[0], width, None, 0.0, wc, 0.0)
+                assert dev == ref
+
+    def test_batch_and_lengths(self):
+        """Batched rows with ragged lengths (incl. 0) match per-row host."""
+        rng = np.random.RandomState(11)
+        B, T, width = 5, 24, 8
+        logp = _logp(rng, B, T)
+        lengths = np.array([24, 13, 0, 1, 20], np.int32)
+        fn = beam_device.make_device_beam_search(width)
+        ids, lens = fn(logp, lengths, 0.0, 0.0, 0.0)
+        ids, lens = np.asarray(ids), np.asarray(lens)
+        for i in range(B):
+            ref = _host_decode(
+                logp[i, : lengths[i]], width, None, 0.0, 0.0, 0.0
+            )
+            assert list(ids[i, : lens[i]]) == ref
+            assert (ids[i, lens[i] :] == vocabulary.PAD_ID).all()
+
+
+class TestDeviceLMScorer:
+    def test_scores_match_host_exhaustively(self, host_lm, dev_lm):
+        import itertools
+
+        import jax.numpy as jnp
+
+        wl, ns = beam_device._make_lm_fns(dev_lm)
+        H = dev_lm.hist_len
+        words = ["the", "cat", "sat", "a", "mat", "zzz"]
+
+        def dev_score(hist_words, word):
+            toks = [dev_lm.bos_id] if dev_lm.bos_id >= 0 else []
+            for w in hist_words:
+                cids = beam_device._word_char_ids(w)
+                wh = beam_device._np_word_hash(np.array(cids, np.int64))
+                wid, _ = wl(jnp.asarray([wh[0]]), jnp.asarray([wh[1]]))
+                toks.append(int(wid[0]))
+            toks = toks[-H:]
+            hist = np.zeros(H, np.int32)
+            hist[H - len(toks) :] = toks
+            cids = beam_device._word_char_ids(word)
+            wh = beam_device._np_word_hash(np.array(cids, np.int64))
+            wid, valid = wl(jnp.asarray([wh[0]]), jnp.asarray([wh[1]]))
+            s = ns(
+                jnp.asarray(hist)[None],
+                jnp.asarray([min(len(toks), H)]),
+                wid,
+            )
+            return float(s[0]), bool(int(valid[0]))
+
+        for hlen in range(0, 3):
+            for hist_words in itertools.product(words, repeat=hlen):
+                for w in words:
+                    hs = host_lm.score_word(" ".join(hist_words), w)
+                    ds, dvalid = dev_score(list(hist_words), w)
+                    assert abs(hs - ds) < 1e-5, (hist_words, w, hs, ds)
+                    assert dvalid == host_lm.has_word(w)
+
+    def test_valid_word_set_follows_vocab_file(self, dev_lm):
+        import jax.numpy as jnp
+
+        wl, _ = beam_device._make_lm_fns(dev_lm)
+
+        def lookup(word):
+            cids = beam_device._word_char_ids(word)
+            wh = beam_device._np_word_hash(np.array(cids, np.int64))
+            wid, valid = wl(jnp.asarray([wh[0]]), jnp.asarray([wh[1]]))
+            return int(wid[0]), bool(int(valid[0]))
+
+        # "a" is in the LM but not the vocabulary file: real id, not valid
+        wid_a, valid_a = lookup("a")
+        assert not valid_a and wid_a != dev_lm.unk_id
+        # "mat" is in both
+        _, valid_mat = lookup("mat")
+        assert valid_mat
+        # unknown word maps to <unk>
+        wid_z, valid_z = lookup("zzz")
+        assert wid_z == dev_lm.unk_id and not valid_z
+
+
+def _ctc_logp_f64(logp, labels):
+    """Exact ln P(labels | emissions): f64 CTC forward (test oracle)."""
+    T, _ = logp.shape
+    blank = vocabulary.BLANK_ID
+    ext = []
+    for lab in labels:
+        ext += [blank, lab]
+    ext.append(blank)
+    S = len(ext)
+    NEG = -1e30
+
+    def ladd(x, y):
+        if x <= NEG:
+            return y
+        if y <= NEG:
+            return x
+        m = max(x, y)
+        return m + math.log1p(math.exp(min(x, y) - m))
+
+    a = np.full(S, NEG)
+    a[0] = logp[0, ext[0]]
+    if S > 1:
+        a[1] = logp[0, ext[1]]
+    for t in range(1, T):
+        na = np.full(S, NEG)
+        for s in range(S):
+            v = a[s]
+            if s >= 1:
+                v = ladd(v, a[s - 1])
+            if s >= 2 and ext[s] != blank and ext[s] != ext[s - 2]:
+                v = ladd(v, a[s - 2])
+            na[s] = v + logp[t, ext[s]]
+        a = na
+    return ladd(a[S - 1], a[S - 2] if S > 1 else NEG)
+
+
+def _lm_bonus_f64(host_lm, labels, lw, wc, vw):
+    s = vocabulary.ids_to_sentence(labels)
+    words = [w for w in s.split(" ") if w]
+    total, hist = 0.0, ""
+    for w in words:
+        total += wc + (vw if host_lm.has_word(w) else 0.0)
+        total += lw * math.log(10) * host_lm.score_word(hist, w)
+        hist = " ".join((hist + " " + w).split()[-4:])
+    return total
+
+
+class TestWithLM:
+    # a t c h e s m space blank — word-shaped emissions
+    FAVORED = [0, 19, 2, 7, 4, 18, 12, 27, 28]
+
+    def test_no_pruning_regime_exact(self, host_lm, dev_lm):
+        """Beam wide enough to hold every reachable prefix: any semantic
+        difference between host and device fusion MUST surface here."""
+        alph = [0, 19, 2, 27, 28]  # a t c space blank
+        width = 1024
+        fn = beam_device.make_device_beam_search(width, lm=dev_lm)
+        rng = np.random.RandomState(3)
+        for _ in range(6):
+            T = rng.randint(2, 6)
+            logits = np.full((1, T, vocabulary.NUM_CLASSES), -40.0, np.float32)
+            logits[:, :, alph] = (
+                rng.randn(1, T, len(alph)).astype(np.float32) * 2.0
+            )
+            logp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+            ids, lens = fn(logp, np.array([T], np.int32), 1.5, 0.5, 1.2)
+            dev = [int(x) for x in np.asarray(ids)[0][: int(lens[0])]]
+            ref = _host_decode(logp[0], width, host_lm, 1.5, 0.5, 1.2)
+            assert dev == ref
+
+    def test_pruned_regime_near_total_agreement(self, host_lm, dev_lm):
+        """Realistic widths: outputs match on >=80% of trials, and every
+        divergence is a bounded near-tie under exact f64 rescoring (the
+        host scores in f64, the device in f32 — at the pruning boundary
+        neither dominates)."""
+        width = 12
+        fn = beam_device.make_device_beam_search(width, lm=dev_lm)
+        rng = np.random.RandomState(42)
+        mismatches = 0
+        for _ in range(20):
+            T = rng.randint(5, 40)
+            logp = _logp(
+                rng, 1, T, scale=2.0, favored=self.FAVORED, boost=4.0
+            )
+            lw, wc, vw = 1.5, 0.5, 1.2
+            ids, lens = fn(logp, np.array([T], np.int32), lw, wc, vw)
+            dev = [int(x) for x in np.asarray(ids)[0][: int(lens[0])]]
+            ref = _host_decode(logp[0], width, host_lm, lw, wc, vw)
+            if dev != ref:
+                mismatches += 1
+                sh = _ctc_logp_f64(
+                    logp[0].astype(np.float64), ref
+                ) + _lm_bonus_f64(host_lm, ref, lw, wc, vw)
+                sd = _ctc_logp_f64(
+                    logp[0].astype(np.float64), dev
+                ) + _lm_bonus_f64(host_lm, dev, lw, wc, vw)
+                assert abs(sh - sd) < 0.1, (sh, sd)
+        assert mismatches <= 4
+
+    def test_weights_are_runtime_arguments(self, dev_lm):
+        """Same compiled fn, different fusion weights -> different result
+        (the search placeholders never bake into the executable)."""
+        width = 8
+        fn = beam_device.make_device_beam_search(width, lm=dev_lm)
+        rng = np.random.RandomState(5)
+        logp = _logp(rng, 1, 30, scale=2.0, favored=self.FAVORED, boost=4.0)
+        lengths = np.array([30], np.int32)
+        outs = set()
+        for lw in (0.0, 2.0, 8.0):
+            ids, lens = fn(logp, lengths, lw, 0.5, 1.2)
+            outs.add(vocabulary.ids_to_sentence(
+                np.asarray(ids)[0][: int(lens[0])]
+            ))
+        assert len(outs) >= 2  # weights actually steer the search
+
+
+class TestKeyHashing:
+    def test_device_and_host_hashes_agree(self):
+        import jax.numpy as jnp
+
+        rng = np.random.RandomState(0)
+        ids = rng.randint(0, 1 << 20, size=(50, 3)).astype(np.int32)
+        k1_np, k2_np = beam_device._np_key_hash_rows(ids)
+        k1_dev, k2_dev = beam_device._key_hash(jnp.asarray(ids))
+        np.testing.assert_array_equal(k1_np, np.asarray(k1_dev))
+        np.testing.assert_array_equal(k2_np, np.asarray(k2_dev))
+
+    def test_bucket_table_roundtrip(self):
+        rng = np.random.RandomState(1)
+        n = 1000
+        k1 = rng.randint(0, 1 << 32, size=n, dtype=np.uint64).astype(
+            np.uint32
+        )
+        k2 = rng.randint(0, 1 << 32, size=n, dtype=np.uint64).astype(
+            np.uint32
+        )
+        # dedupe keys (table semantics assume unique n-grams)
+        _, unique_idx = np.unique(
+            k1.astype(np.uint64) << np.uint64(32) | k2.astype(np.uint64),
+            return_index=True,
+        )
+        k1, k2 = k1[unique_idx], k2[unique_idx]
+        vals = np.arange(len(k1), dtype=np.float32)
+        keys1, keys2, (v,) = beam_device._build_bucket_table(k1, k2, [vals])
+        import jax.numpy as jnp
+
+        found, (got,) = beam_device._bucket_lookup(
+            jnp.asarray(keys1),
+            jnp.asarray(keys2),
+            [jnp.asarray(v)],
+            jnp.asarray(k1),
+            jnp.asarray(k2),
+        )
+        assert bool(np.asarray(found).all())
+        np.testing.assert_array_equal(np.asarray(got), vals)
+        # a missing (non-marker) key is not found; note (0, 0) is the
+        # empty-slot marker and real hashes are remapped away from it
+        present = set(zip(k1.tolist(), k2.tolist()))
+        miss = (7, 9)
+        assert miss not in present
+        miss_f, _ = beam_device._bucket_lookup(
+            jnp.asarray(keys1),
+            jnp.asarray(keys2),
+            [jnp.asarray(v)],
+            jnp.asarray(np.array([miss[0]], np.uint32)),
+            jnp.asarray(np.array([miss[1]], np.uint32)),
+        )
+        assert not bool(np.asarray(miss_f)[0])
