@@ -124,6 +124,12 @@ class CLI:
             help="Drop frames whose blank probability exceeds this on "
             "device before the host beam (1.0 disables collapse).",
         )
+        parser.add_argument(
+            "--device-beam", dest="device_beam", action="store_true",
+            help="Run the LM-fused beam search on the TPU itself "
+            "(batch-parallel) instead of the host C++ beam; requires the "
+            "ARPA source in the language-model directory.",
+        )
 
     def _add_training_parser(self):
         p = self.subparsers.add_parser(
@@ -271,6 +277,7 @@ class CLI:
                         valid_word_count_weight=parsed.valid_word_count_weight,
                         beam_width=parsed.beam_width,
                         blank_threshold=parsed.blank_threshold,
+                        device_beam=getattr(parsed, "device_beam", False),
                     )
             self._parsed = parsed
         return self._parsed

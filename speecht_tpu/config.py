@@ -71,6 +71,9 @@ class LanguageModelConfig:
     # `search` (the candidate space covers only the reference's three
     # shallow-fusion weights, parameter_search.py:55-62); tune manually.
     blank_threshold: float = 0.999
+    # run the beam search itself on the TPU (ops/beam_device.py) instead of
+    # the host C++ beam; needs the ARPA source in the LM directory
+    device_beam: bool = False
 
 
 @dataclass

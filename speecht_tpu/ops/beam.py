@@ -49,10 +49,7 @@ def find_lm_files(directory: str) -> tuple[str, str | None]:
             model = os.path.join(directory, name)
             break
     if model is None:
-        for name in names:
-            if name.endswith(".arpa") or name.endswith(".arpa.txt"):
-                model = os.path.join(directory, name)
-                break
+        model = find_arpa_file(directory)
     if model is None:
         raise FileNotFoundError(
             f"no .binary or .arpa language model found in {directory}"
@@ -61,31 +58,76 @@ def find_lm_files(directory: str) -> tuple[str, str | None]:
     return model, (vocab if os.path.exists(vocab) else None)
 
 
+def find_arpa_file(directory: str) -> str | None:
+    """The ARPA source in an LM directory (the device beam requires it —
+    KenLM binaries' n-gram keys are one-way hashes, see beam_device.py)."""
+    for name in sorted(os.listdir(directory)):
+        if name.endswith(".arpa") or name.endswith(".arpa.txt"):
+            return os.path.join(directory, name)
+    return None
+
+
 class BeamSearchDecoder:
     """Batch beam-search decoder with optional n-gram LM shallow fusion."""
 
     def __init__(self, model, lm_config, blank_threshold: float | None = None,
                  num_threads: int | None = None,
-                 feature_type: str | None = None):
+                 feature_type: str | None = None,
+                 device_beam: bool | None = None):
         """``feature_type`` switches the device part to the raw-audio front
         end (AudioBatch inputs, features computed on device).
 
         ``blank_threshold`` defaults to the lm_config's (``--blank-threshold``
         CLI flag, 0.999): frames whose blank probability exceeds it are
-        dropped on device before the host beam (arXiv:2210.17017)."""
+        dropped on device before the beam (arXiv:2210.17017).
+
+        ``device_beam`` (default: the lm_config's ``--device-beam`` flag)
+        runs the beam itself on the TPU (`ops/beam_device.py`) instead of
+        the host C++ beam — batch-parallel, no host-core bottleneck. It
+        requires the ARPA source in the LM directory (binaries are
+        host-only: their n-gram keys are one-way hashes)."""
         self.model = model
         self.lm_config = lm_config
         if blank_threshold is None:
             blank_threshold = getattr(lm_config, "blank_threshold", 0.999)
         self.blank_threshold = blank_threshold
+        if device_beam is None:
+            device_beam = bool(getattr(lm_config, "device_beam", False))
+        self.device_beam = device_beam
         self.lm = None
-        if lm_config.language_model:
+        self._beam_fn = None
+        if device_beam:
+            from speecht_tpu.ops import beam_device
+
+            device_lm = None
+            if lm_config.language_model:
+                arpa = find_arpa_file(lm_config.language_model)
+                if arpa is None:
+                    raise FileNotFoundError(
+                        "--device-beam needs the ARPA source (.arpa) in "
+                        f"{lm_config.language_model}; KenLM binaries feed "
+                        "only the host beam (their n-gram keys are one-way "
+                        "hashes). KenLM releases ship the ARPA alongside "
+                        "the binary."
+                    )
+                vocab = os.path.join(
+                    lm_config.language_model, "vocabulary"
+                )
+                device_lm = beam_device.DeviceLM(
+                    arpa, vocab if os.path.exists(vocab) else None
+                )
+            self._beam_fn = beam_device.make_device_beam_search(
+                lm_config.beam_width, lm=device_lm
+            )
+        elif lm_config.language_model:
             arpa, vocab = find_lm_files(lm_config.language_model)
             self.lm = native.NGramLM(arpa, vocab)
         self._loss_fn = tstep.make_loss_fn(model)
-        self._pool = concurrent.futures.ThreadPoolExecutor(
-            max_workers=num_threads or min(32, (os.cpu_count() or 8))
-        )
+        self._pool = None
+        if not device_beam:
+            self._pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=num_threads or min(32, (os.cpu_count() or 8))
+            )
 
         if feature_type is None:
 
@@ -158,6 +200,17 @@ class BeamSearchDecoder:
         )
 
         B, T, _C = logp.shape
+        if self.device_beam:
+            # slice the scan to a 32-multiple of the batch's max collapsed
+            # length: the jitted search retraces once per bucket (cached),
+            # and short batches stop paying for the full logit width
+            t_max = int(np.max(lengths)) if B else 0
+            t_bucket = min(T, max(32, -(-t_max // 32) * 32))
+            ids, out_lengths = self._beam_fn(
+                logp[:, :t_bucket], lengths, lm_w, wc_w, vwc_w
+            )
+            return np.asarray(ids), np.asarray(out_lengths)
+
         out = np.full((B, T), vocabulary.PAD_ID, dtype=np.int32)
         out_lengths = np.zeros(B, dtype=np.int32)
 
@@ -181,7 +234,8 @@ class BeamSearchDecoder:
     def eval_step(self, params, batch, **weight_overrides):
         """(loss, decoded_ids, decoded_lengths) — drop-in for make_eval_step."""
         avg_loss, logp, lengths = self._device_part(params, batch)
-        logp = np.asarray(logp)
+        if not self.device_beam:
+            logp = np.asarray(logp)
         lengths = np.asarray(lengths)
         decoded, dec_lengths = self.decode_emissions(
             logp, lengths, **weight_overrides
@@ -208,7 +262,11 @@ class BeamSearchDecoder:
 
     def _finish_batch(self, pending, weight_overrides):
         batch, (avg_loss, logp, lengths) = pending
-        logp = np.asarray(logp)  # blocks until this batch's forward is done
+        # device mode keeps the emissions on the chip: only the [B] length
+        # vector crosses to pick the scan bucket, then the beam runs on the
+        # device-resident slice
+        if not self.device_beam:
+            logp = np.asarray(logp)  # blocks until the forward is done
         lengths = np.asarray(lengths)
         decoded, dec_lengths = self.decode_emissions(
             logp, lengths, **weight_overrides

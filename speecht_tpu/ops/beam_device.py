@@ -5,7 +5,8 @@ KenLM path (reference speecht/speech_model.py:101-111: kenlm directory,
 kenlm_weight / word_count_weight / valid_word_count_weight placeholders,
 beam_width=100) — but run *entirely on the TPU*, batch-parallel, instead of
 on the host. The host C++ beam (`native/beam_search.cpp`) remains the
-semantic oracle; this module mirrors its scoring exactly:
+semantic oracle; this module mirrors its scoring exactly, including its
+per-frame top-k emission pruning:
 
   score = ln P_acoustic(prefix)
         + lm_weight * ln(10) * log10 P_LM(completed words)  [backoff n-gram]
@@ -18,8 +19,8 @@ bottlenecks evaluation (measured: 229 utt/s host beam vs 5434 utt/s greedy
 on a v5e with a 1-core host). Here the whole batch beams in one XLA program
 — the search is a `lax.scan` over (blank-collapsed) frames whose per-frame
 work is dense [beam_width]-shaped vector ops, a [W, W] merge match, and one
-top-k — and the LM lives in HBM as bucketed open-addressing hash tables
-probed with a single contiguous 8-slot gather per lookup.
+top-k — and the LM lives in HBM as bucketed hash tables probed with a
+single contiguous-row gather per lookup.
 
 TPU-native design choices (vs a literal port of the host search):
 
@@ -32,16 +33,22 @@ TPU-native design choices (vs a literal port of the host search):
   live beam's prefix. Beam j detects this itself: its (parent-hash, last
   char) must equal (hash(p), c). One [W, W] equality match per frame
   replaces the sort-by-prefix a generic segmented merge would need.
+- **Per-frame char pruning, host-identical.** Only the frame's top-k
+  emission chars (+ blank) spawn extensions (`prune_top_k`, default 8 like
+  the host binding), so the selection pool is [(k+1)·W], not [29·W].
 - **Static shapes everywhere.** The beam is a fixed [W] slab with an alive
-  mask; candidates are the fixed [W + 28·W] stay/extend slab; selection is
-  `lax.top_k`; per-example lengths mask the scan; the decoded sequence is
-  reconstructed from a backpointer lattice by a second (reverse) scan.
-- **LM tables as gathers.** The ARPA backoff model is compiled into dense
-  device arrays: unigrams direct-indexed by word id, higher orders as
-  power-of-two bucketed hash tables (8 slots/bucket, built host-side with
-  overflow-free rebuilds), words as the same keyed by a rolling hash of the
-  partial word. A backoff lookup is a handful of row gathers + compares —
-  no data-dependent loops, nothing leaves the chip.
+  mask; selection is `lax.top_k`; per-example lengths mask the scan; the
+  decoded sequence is reconstructed from a backpointer lattice by a second
+  (reverse) scan. Beam state is packed into three [W, cols] slabs (f32 /
+  u32 / i32) so post-selection reindexing is three gathers, not fourteen.
+- **LM tables as single-gather probes.** The ARPA backoff model compiles
+  into dense device arrays: unigrams direct-indexed by word id; ALL higher
+  orders in one unified bucketed hash arena whose rows pack
+  (key1, key2, prob, backoff) as one int32[slots, 4] block — a probe is one
+  contiguous row gather + compares, and the whole backoff walk for a word
+  batches its 2H-1 bucket keys into a single gather. Words resolve through
+  the same scheme keyed by a rolling hash of the partial word. No
+  data-dependent loops, nothing leaves the chip.
 
 Numerics: the host beam scores in f64; the device search runs in f32.
 Differences only matter for near-tied beams, so decoded outputs match the
@@ -78,12 +85,6 @@ _KSEED2 = np.uint32(40503)
 
 _SPACE = vocabulary.SPACE_ID
 _NCHARS = vocabulary.SIZE  # 28 non-blank characters
-
-
-def _hash_ext(h1, h2, c):
-    """Child prefix hash after appending char id ``c`` (>= 0)."""
-    u = (c + 2).astype(jnp.uint32)
-    return h1 * _M1 + u, h2 * _M2 + u
 
 
 def _np_word_hash(ids: np.ndarray) -> tuple[np.uint32, np.uint32]:
@@ -132,13 +133,14 @@ def _key_hash(tok: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 def _build_bucket_table(
     k1: np.ndarray, k2: np.ndarray, values: list[np.ndarray], slots: int = 8
-):
-    """Bucketed open-addressing hash table (host build, device probe).
+) -> np.ndarray:
+    """Bucketed hash table packed for one-gather probes (host build).
 
-    Returns (keys1 [NB, slots] u32, keys2, value arrays [NB, slots]) where
-    NB is a power of two chosen so no bucket overflows ``slots`` — a lookup
-    is then ONE contiguous row gather + ``slots`` compares, with no
-    data-dependent probe chain (the device cannot loop until empty-slot).
+    Returns int32 [NB, slots, 2 + len(values)] whose last axis packs
+    (key1, key2, *values) — float values bit-cast. NB is a power of two
+    chosen so no bucket overflows ``slots``: a device probe is then ONE
+    contiguous row gather + ``slots`` compares, with no data-dependent
+    probe chain.
     """
     n = len(k1)
     nb = 1
@@ -150,9 +152,8 @@ def _build_bucket_table(
         if counts.max(initial=0) <= slots:
             break
         nb *= 2
-    keys1 = np.zeros((nb, slots), np.uint32)
-    keys2 = np.zeros((nb, slots), np.uint32)
-    vals = [np.zeros((nb, slots), v.dtype) for v in values]
+    cols = 2 + len(values)
+    table = np.zeros((nb, slots, cols), np.int32)
     if n:
         # vectorized fill: rows sorted by bucket get consecutive slots
         order = np.argsort(buckets, kind="stable")
@@ -160,11 +161,39 @@ def _build_bucket_table(
         first = np.zeros(nb, np.int64)
         np.cumsum(counts[:-1], out=first[1:])
         slot = np.arange(n, dtype=np.int64) - first[sb]
-        keys1[sb, slot] = k1[order]
-        keys2[sb, slot] = k2[order]
-        for v, src in zip(vals, values):
-            v[sb, slot] = src[order]
-    return keys1, keys2, vals
+        table[sb, slot, 0] = k1[order].view(np.int32)
+        table[sb, slot, 1] = k2[order].view(np.int32)
+        for c, src in enumerate(values):
+            src = np.asarray(src)
+            if src.dtype == np.float32:
+                src = src.view(np.int32)
+            else:
+                src = src.astype(np.int32)
+            table[sb, slot, 2 + c] = src[order]
+    return table
+
+
+def _probe(table: jax.Array, k1: jax.Array, k2: jax.Array):
+    """Probe a packed bucket table: (found [...], rows [..., slots, cols]).
+
+    One contiguous row gather; callers extract matched values with
+    ``_matched`` below.
+    """
+    nb = table.shape[0]
+    b = jax.lax.bitcast_convert_type(k1 % jnp.uint32(nb), jnp.int32)
+    rows = table[b]  # [..., slots, cols]
+    i1 = jax.lax.bitcast_convert_type(k1, jnp.int32)
+    i2 = jax.lax.bitcast_convert_type(k2, jnp.int32)
+    hit = (rows[..., 0] == i1[..., None]) & (rows[..., 1] == i2[..., None])
+    return jnp.any(hit, axis=-1), hit, rows
+
+
+def _matched(hit, rows, col, as_float):
+    """Value of the (unique) matched slot in column ``col``; 0 if none."""
+    v = rows[..., col]
+    if as_float:
+        v = jax.lax.bitcast_convert_type(v, jnp.float32)
+    return jnp.sum(jnp.where(hit, v, jnp.zeros_like(v)), axis=-1)
 
 
 def _parse_arpa(path: str):
@@ -282,17 +311,30 @@ class DeviceLM:
             "uni_present": jnp.asarray(upresent),
         }
 
-        # orders 2..order: bucketed hash tables keyed by the id-sequence hash
+        # unified arena: ALL orders 2..order in one bucketed table (the
+        # key hash is sequence-length-sensitive, so orders cannot collide
+        # except by 64-bit accident) — one gather serves a whole backoff
+        # walk's bucket keys
+        k1s, k2s, probs, backs = [], [], [], []
         for n in range(2, order + 1):
             ids, prob, back = entries[n - 1]
             k1, k2 = _np_key_hash_rows(ids)
-            keys1, keys2, (pv, bv) = _build_bucket_table(
-                k1, k2, [prob, back]
-            )
-            tables[f"g{n}_k1"] = jnp.asarray(keys1)
-            tables[f"g{n}_k2"] = jnp.asarray(keys2)
-            tables[f"g{n}_prob"] = jnp.asarray(pv)
-            tables[f"g{n}_back"] = jnp.asarray(bv)
+            k1s.append(k1)
+            k2s.append(k2)
+            probs.append(prob)
+            backs.append(back)
+        if k1s:
+            k1 = np.concatenate(k1s)
+            k2 = np.concatenate(k2s)
+            prob = np.concatenate(probs)
+            back = np.concatenate(backs)
+        else:
+            k1 = np.zeros(0, np.uint32)
+            k2 = np.zeros(0, np.uint32)
+            prob = back = np.zeros(0, np.float32)
+        tables["arena"] = jnp.asarray(
+            _build_bucket_table(k1, k2, [prob, back])
+        )
 
         # valid-word set: explicit vocabulary file, else the LM's own words
         # (lowercased), minus specials — exactly the host trie's content
@@ -324,29 +366,10 @@ class DeviceLM:
         wk2 = np.array([k[1] for k in keys], np.uint32).reshape(-1)
         wid_arr = np.array([v[0] for v in keys.values()], np.int32)
         val_arr = np.array([v[1] for v in keys.values()], np.int32)
-        keys1, keys2, (widv, valv) = _build_bucket_table(
-            wk1, wk2, [wid_arr, val_arr]
+        tables["words"] = jnp.asarray(
+            _build_bucket_table(wk1, wk2, [wid_arr, val_arr])
         )
-        tables["w_k1"] = jnp.asarray(keys1)
-        tables["w_k2"] = jnp.asarray(keys2)
-        tables["w_id"] = jnp.asarray(widv)
-        tables["w_valid"] = jnp.asarray(valv)
         self.tables = tables
-
-
-def _bucket_lookup(keys1, keys2, vals, k1, k2):
-    """Probe a bucketed table: returns (found [.], value rows)."""
-    nb = keys1.shape[0]
-    b = (k1 % jnp.uint32(nb)).astype(jnp.int32)
-    row1 = keys1[b]  # [., slots]
-    row2 = keys2[b]
-    hit = (row1 == k1[..., None]) & (row2 == k2[..., None])
-    found = jnp.any(hit, axis=-1)
-    out = [
-        jnp.sum(jnp.where(hit, v[b], jnp.zeros_like(v[b])), axis=-1)
-        for v in vals
-    ]
-    return found, out
 
 
 def _make_lm_fns(lm: DeviceLM | None):
@@ -360,57 +383,85 @@ def _make_lm_fns(lm: DeviceLM | None):
         return None, None
     t = lm.tables
     H = lm.hist_len
-    order = lm.order
     unk_id = lm.unk_id
     unk_floor = jnp.float32(lm.unk_floor)
+    nuni = t["uni_prob"].shape[0]
 
     def word_lookup(wh1, wh2):
-        found, (wid, valid) = _bucket_lookup(
-            t["w_k1"], t["w_k2"], [t["w_id"], t["w_valid"]], wh1, wh2
-        )
+        found, hit, rows = _probe(t["words"], wh1, wh2)
+        wid = _matched(hit, rows, 2, as_float=False)
+        valid = _matched(hit, rows, 3, as_float=False)
         wid = jnp.where(found, wid, jnp.int32(unk_id))
         valid = jnp.where(found, valid, 0).astype(jnp.float32)
         return wid, valid
 
-    def lookup_n(n, tok_window):
-        """(found, prob, backoff) of the n-gram ``tok_window`` [., n]."""
-        if n == 1:
-            wid = tok_window[..., 0]
-            inb = (wid >= 0) & (wid < t["uni_prob"].shape[0])
-            safe = jnp.clip(wid, 0, t["uni_prob"].shape[0] - 1)
-            found = inb & t["uni_present"][safe]
-            return found, t["uni_prob"][safe], t["uni_back"][safe]
-        if n > order or f"g{n}_k1" not in t:
-            z = jnp.zeros(tok_window.shape[:-1], jnp.float32)
-            return jnp.zeros(tok_window.shape[:-1], bool), z, z
-        k1, k2 = _key_hash(tok_window)
-        found, (prob, back) = _bucket_lookup(
-            t[f"g{n}_k1"], t[f"g{n}_k2"],
-            [t[f"g{n}_prob"], t[f"g{n}_back"]], k1, k2,
-        )
-        return found, prob, back
+    def uni_lookup(wid):
+        inb = (wid >= 0) & (wid < nuni)
+        safe = jnp.clip(wid, 0, nuni - 1)
+        return inb & t["uni_present"][safe], t["uni_prob"][safe], t[
+            "uni_back"
+        ][safe]
 
     def ngram_score(hist, hcnt, wid):
         """log10 P(wid | hist) with Katz backoff — the host score() twin.
 
         ``hist`` [., H] holds the most recent tokens LAST (<s> included);
-        ``hcnt`` how many of them are real. Statically unrolled over n with
-        per-row applicability masks, so varying context lengths batch.
+        ``hcnt`` how many of them are real. Statically unrolled over n
+        with per-row applicability masks, so varying context lengths
+        batch; ALL bucket keys of the walk go through one arena gather.
         """
         tok = jnp.concatenate([hist, wid[..., None]], axis=-1)  # [., H+1]
         ctx = jnp.minimum(hcnt, H)
+
+        # bucket keys: main n-grams (n=H+1..2) then backoff contexts
+        # (length H..2); unigram levels are direct-indexed
+        windows = [tok[..., H + 1 - n :] for n in range(H + 1, 1, -1)]
+        bwindows = [tok[..., H + 1 - n : H] for n in range(H + 1, 2, -1)]
+        allw = windows + bwindows
+        if allw:
+            k1s = []
+            k2s = []
+            for wnd in allw:
+                a, b = _key_hash(wnd)
+                k1s.append(a)
+                k2s.append(b)
+            k1 = jnp.stack(k1s, axis=-1)  # [., L]
+            k2 = jnp.stack(k2s, axis=-1)
+            found_l, hit_l, rows_l = _probe(t["arena"], k1, k2)
+            prob_l = _matched(hit_l, rows_l, 2, as_float=True)
+            back_l = _matched(hit_l, rows_l, 3, as_float=True)
+
+        def level(n):
+            """(found, prob, backoff) of the n-gram ending at the word."""
+            if n == 1:
+                return uni_lookup(tok[..., H])
+            i = (H + 1) - n  # position in `windows`
+            return (
+                found_l[..., i],
+                prob_l[..., i],
+                back_l[..., i],
+            )
+
+        def blevel(n):
+            """(found, backoff) of the length-n context before the word."""
+            if n == 1:
+                f, _, b = uni_lookup(tok[..., H - 1])
+                return f, b
+            i = len(windows) + (H + 1) - (n + 1)  # position in `bwindows`
+            return found_l[..., i], back_l[..., i]
+
         shape = wid.shape
         res = jnp.zeros(shape, jnp.float32)
         bsum = jnp.zeros(shape, jnp.float32)
         done = jnp.zeros(shape, bool)
         for n in range(H + 1, 0, -1):
             applicable = n <= ctx + 1
-            found, prob, _ = lookup_n(n, tok[..., H + 1 - n :])
+            found, prob, _ = level(n)
             take = (~done) & applicable & found
             res = jnp.where(take, prob + bsum, res)
             done = done | (applicable & found)
             if n > 1:
-                bfound, _, bback = lookup_n(n - 1, tok[..., H + 1 - n : H])
+                bfound, bback = blevel(n - 1)
                 bsum = bsum + jnp.where(
                     (~done) & applicable & bfound, bback, 0.0
                 )
@@ -419,13 +470,16 @@ def _make_lm_fns(lm: DeviceLM | None):
     return word_lookup, ngram_score
 
 
-def _shift_append(hist, wid):
-    """Append ``wid`` to the most-recent-last history ring."""
-    return jnp.concatenate([hist[..., 1:], wid[..., None]], axis=-1)
+# packed beam-state column layout (three gathers reindex everything)
+_F_PB, _F_PNB, _F_LM = 0, 1, 2  # f32 slab [W, 3]
+_U_H1, _U_H2, _U_PH1, _U_PH2, _U_WH1, _U_WH2 = range(6)  # u32 slab [W, 6]
+_I_LAST, _I_WLEN, _I_HCNT, _I_ALIVE = range(4)  # i32 slab [W, 4 + H]
 
 
 def make_device_beam_search(
-    beam_width: int, lm: DeviceLM | None = None
+    beam_width: int,
+    lm: DeviceLM | None = None,
+    prune_top_k: int = 8,
 ):
     """Builds a jittable batch beam search.
 
@@ -436,6 +490,10 @@ def make_device_beam_search(
     and the three weights are runtime scalars (never compiled in, so
     `speecht-cli search` re-runs candidates without recompiling — reference
     parameter_search.py:80-85 placeholder semantics).
+
+    ``prune_top_k`` mirrors the host binding's per-frame emission pruning
+    (default 8): only the frame's top-k chars (+ blank) spawn candidates.
+    0 considers every char.
     """
     W = beam_width
     word_lookup, ngram_score = _make_lm_fns(lm)
@@ -460,178 +518,193 @@ def make_device_beam_search(
 
     def _one_row(logp, length, lm_w, wc_w, vwc_w):
         T, C = logp.shape
+        K = prune_top_k if 0 < prune_top_k < C else C
 
-        pb = jnp.full((W,), NEG).at[0].set(0.0)
-        pnb = jnp.full((W,), NEG)
-        lm_sc = jnp.zeros((W,), jnp.float32)
-        last = jnp.full((W,), -1, jnp.int32)
-        h1 = jnp.full((W,), _SEED1, jnp.uint32)
-        h2 = jnp.full((W,), _SEED2, jnp.uint32)
-        ph1 = jnp.zeros((W,), jnp.uint32)
-        ph2 = jnp.zeros((W,), jnp.uint32)
-        alive = jnp.zeros((W,), bool).at[0].set(True)
-        wh1 = jnp.full((W,), _WSEED1, jnp.uint32)
-        wh2 = jnp.full((W,), _WSEED2, jnp.uint32)
-        wlen = jnp.zeros((W,), jnp.int32)
-        hist = jnp.zeros((W, H), jnp.int32)
-        hcnt = jnp.zeros((W,), jnp.int32)
+        F = jnp.zeros((W, 3), jnp.float32)
+        F = F.at[:, _F_PB].set(NEG).at[0, _F_PB].set(0.0)
+        F = F.at[:, _F_PNB].set(NEG)
+        U = jnp.zeros((W, 6), jnp.uint32)
+        U = U.at[:, _U_H1].set(_SEED1).at[:, _U_H2].set(_SEED2)
+        U = U.at[:, _U_WH1].set(_WSEED1).at[:, _U_WH2].set(_WSEED2)
+        I = jnp.zeros((W, 4 + H), jnp.int32)
+        I = I.at[:, _I_LAST].set(-1).at[0, _I_ALIVE].set(1)
         if bos_id >= 0:
-            hist = hist.at[:, -1].set(bos_id)
-            hcnt = jnp.ones((W,), jnp.int32)
-
-        chars = jnp.arange(_NCHARS, dtype=jnp.int32)  # [28]
+            I = I.at[:, 4 + H - 1].set(bos_id).at[:, _I_HCNT].set(1)
 
         def step(carry, xs):
-            (pb, pnb, lm_sc, last, h1, h2, ph1, ph2, alive,
-             wh1, wh2, wlen, hist, hcnt) = carry
+            F, U, I = carry
             lp, t = xs
+            pb, pnb, lm_sc = F[:, _F_PB], F[:, _F_PNB], F[:, _F_LM]
+            h1, h2 = U[:, _U_H1], U[:, _U_H2]
+            ph1, ph2 = U[:, _U_PH1], U[:, _U_PH2]
+            wh1, wh2 = U[:, _U_WH1], U[:, _U_WH2]
+            last, wlen = I[:, _I_LAST], I[:, _I_WLEN]
+            hcnt, alive = I[:, _I_HCNT], I[:, _I_ALIVE] > 0
+            hist = I[:, 4:]
 
+            # host parity: per-frame emission pruning to the top-K chars
+            # (blank always considered for the stay path)
+            if K < C:
+                topv, topi = jax.lax.top_k(lp, K)
+            else:
+                topi = jnp.arange(C, dtype=jnp.int32)
+                topv = lp
             ptot = jnp.logaddexp(pb, pnb)
             blank_lp = lp[vocabulary.BLANK_ID]
             lp_last = jnp.take(lp, jnp.clip(last, 0), axis=0)
 
             # --- stay candidates (prefix unchanged) ---------------------
+            last_in = topi[None, :] == last[:, None]  # [W, K]
+            last_ok = jnp.any(last_in, axis=1) & (last >= 0)
             stay_pb = ptot + blank_lp
-            stay_pnb = jnp.where(last >= 0, pnb + lp_last, NEG)
+            stay_pnb = jnp.where(last_ok, pnb + lp_last, NEG)
 
-            # --- extend candidates [W, 28] ------------------------------
-            is_rep = chars[None, :] == last[:, None]
-            base = jnp.where(is_rep, pb[:, None], ptot[:, None])
-            ext_pnb = base + lp[None, :_NCHARS]
-            ext_pb = jnp.full((W, _NCHARS), NEG)
+            # --- extend candidates [W, K] (blank slots masked) ----------
+            base = jnp.where(last_in, pb[:, None], ptot[:, None])
+            ext_pnb = base + topv[None, :]
+            ext_pnb = jnp.where(
+                (topi == vocabulary.BLANK_ID)[None, :], NEG, ext_pnb
+            )
+            ext_pb = jnp.full((W, K), NEG)
 
             # fusion bonus of completing this beam's partial word [W]
             bonus, wid = _space_bonus(
                 wh1, wh2, wlen, hist, hcnt, lm_w, wc_w, vwc_w
             )
             ext_lm = lm_sc[:, None] + jnp.where(
-                (chars[None, :] == _SPACE) & (wlen[:, None] > 0),
+                (topi[None, :] == _SPACE) & (wlen[:, None] > 0),
                 bonus[:, None],
                 0.0,
             )
 
             # --- merge: stay(j) == extend(p, last[j]) -------------------
-            # (the only duplicate CTC prefix beam search can produce)
+            # (the only duplicate CTC prefix beam search can produce).
+            # Computed as a gather, never a scatter: a dynamic-index
+            # scatter per frame serializes on TPU (one update at a time),
+            # whereas the [j, p, k] match cube is dense vector work.
             match = (
                 (h1[None, :] == ph1[:, None])
                 & (h2[None, :] == ph2[:, None])
                 & alive[None, :]
                 & alive[:, None]
                 & (last[:, None] >= 0)
+                & last_ok[:, None]
             )  # [j, p]
             has = jnp.any(match, axis=1)
-            p_idx = jnp.argmax(match, axis=1).astype(jnp.int32)
-            rows = jnp.where(has, p_idx, W)  # W -> dropped by scatter
-            cols = jnp.clip(last, 0)
-            prev = ext_pnb[jnp.clip(rows, 0, W - 1), cols]
-            merged = jnp.logaddexp(prev, stay_pnb)
-            ext_pnb = ext_pnb.at[rows, cols].set(merged, mode="drop")
-            ext_pb = ext_pb.at[rows, cols].set(stay_pb, mode="drop")
+            cube = match[:, :, None] & last_in[:, None, :]  # [j, p, k]
+            j_hit = jnp.any(cube, axis=0)  # [p, k]
+            j_idx = jnp.argmax(cube, axis=0)  # [p, k] (unique j if any)
+            ext_pb = jnp.where(j_hit, stay_pb[j_idx], ext_pb)
+            ext_pnb = jnp.where(
+                j_hit, jnp.logaddexp(ext_pnb, stay_pnb[j_idx]), ext_pnb
+            )
             stay_pb = jnp.where(has, NEG, stay_pb)
             stay_pnb = jnp.where(has, NEG, stay_pnb)
 
-            # --- pool + select ------------------------------------------
+            # --- pool [(K+1)·W] + select --------------------------------
             cand_pb = jnp.concatenate([stay_pb, ext_pb.reshape(-1)])
             cand_pnb = jnp.concatenate([stay_pnb, ext_pnb.reshape(-1)])
             cand_lm = jnp.concatenate([lm_sc, ext_lm.reshape(-1)])
-            cand_par = jnp.concatenate(
-                [
-                    jnp.arange(W, dtype=jnp.int32),
-                    jnp.repeat(jnp.arange(W, dtype=jnp.int32), _NCHARS),
-                ]
-            )
-            cand_ch = jnp.concatenate(
-                [
-                    jnp.full((W,), -1, jnp.int32),
-                    jnp.tile(chars, W),
-                ]
-            )
-            cand_alive = jnp.concatenate(
-                [alive, jnp.repeat(alive, _NCHARS)]
-            )
+            ext_ch = jnp.broadcast_to(topi[None, :], (W, K)).reshape(-1)
+            cand_alive = jnp.concatenate([alive, jnp.repeat(alive, K)])
             total = jnp.logaddexp(cand_pb, cand_pnb) + cand_lm
             total = jnp.where(cand_alive, total, NEG)
 
-            _, idx = jax.lax.top_k(total, W)
-            par = cand_par[idx]
-            ch = cand_ch[idx]
-            is_stay = ch < 0
+            tv, idx = jax.lax.top_k(total, W)
+            is_stay = idx < W
+            par = jnp.where(is_stay, idx, (idx - W) // K)
+            ch = jnp.where(
+                is_stay, -1, jnp.take(ext_ch, jnp.clip(idx - W, 0), axis=0)
+            )
             ch_c = jnp.clip(ch, 0)
 
-            n_pb = cand_pb[idx]
-            n_pnb = cand_pnb[idx]
-            n_lm = cand_lm[idx]
-            n_alive = total[idx] > NEG / 2
+            Fp, Up, Ip = F[par], U[par], I[par]  # three gathers
+            u = (ch_c + 2).astype(jnp.uint32)
 
-            e1, e2 = _hash_ext(h1[par], h2[par], ch_c)
-            n_h1 = jnp.where(is_stay, h1[par], e1)
-            n_h2 = jnp.where(is_stay, h2[par], e2)
-            n_ph1 = jnp.where(is_stay, ph1[par], h1[par])
-            n_ph2 = jnp.where(is_stay, ph2[par], h2[par])
-            n_last = jnp.where(is_stay, last[par], ch)
-
+            n_h1 = jnp.where(is_stay, Up[:, _U_H1], Up[:, _U_H1] * _M1 + u)
+            n_h2 = jnp.where(is_stay, Up[:, _U_H2], Up[:, _U_H2] * _M2 + u)
+            n_ph1 = jnp.where(is_stay, Up[:, _U_PH1], Up[:, _U_H1])
+            n_ph2 = jnp.where(is_stay, Up[:, _U_PH2], Up[:, _U_H2])
             is_space = (~is_stay) & (ch == _SPACE)
-            completes = is_space & (wlen[par] > 0)
-            we1 = wh1[par] * _M1 + (ch_c + 2).astype(jnp.uint32)
-            we2 = wh2[par] * _M2 + (ch_c + 2).astype(jnp.uint32)
+            completes = is_space & (Ip[:, _I_WLEN] > 0)
             n_wh1 = jnp.where(
-                is_stay, wh1[par], jnp.where(is_space, _WSEED1, we1)
+                is_stay,
+                Up[:, _U_WH1],
+                jnp.where(is_space, _WSEED1, Up[:, _U_WH1] * _M1 + u),
             )
             n_wh2 = jnp.where(
-                is_stay, wh2[par], jnp.where(is_space, _WSEED2, we2)
+                is_stay,
+                Up[:, _U_WH2],
+                jnp.where(is_space, _WSEED2, Up[:, _U_WH2] * _M2 + u),
             )
+
+            n_last = jnp.where(is_stay, Ip[:, _I_LAST], ch)
             n_wlen = jnp.where(
-                is_stay, wlen[par], jnp.where(is_space, 0, wlen[par] + 1)
-            )
-            n_hist = jnp.where(
-                completes[:, None],
-                _shift_append(hist[par], wid[par]),
-                hist[par],
+                is_stay,
+                Ip[:, _I_WLEN],
+                jnp.where(is_space, 0, Ip[:, _I_WLEN] + 1),
             )
             n_hcnt = jnp.where(
-                completes, jnp.minimum(hcnt[par] + 1, H), hcnt[par]
+                completes,
+                jnp.minimum(Ip[:, _I_HCNT] + 1, H),
+                Ip[:, _I_HCNT],
+            )
+            n_alive = (tv > NEG / 2).astype(jnp.int32)
+            n_hist = jnp.where(
+                completes[:, None],
+                jnp.concatenate(
+                    [Ip[:, 5:], jnp.take(wid, par)[:, None]], axis=-1
+                ),
+                Ip[:, 4:],
+            )
+
+            nF = jnp.stack([cand_pb[idx], cand_pnb[idx], cand_lm[idx]], 1)
+            nU = jnp.stack([n_h1, n_h2, n_ph1, n_ph2, n_wh1, n_wh2], 1)
+            nI = jnp.concatenate(
+                [jnp.stack([n_last, n_wlen, n_hcnt, n_alive], 1), n_hist],
+                axis=1,
             )
 
             # frames past this row's length leave the beam untouched
             upd = t < length
-            sel = lambda a, b: jnp.where(upd, a, b)  # noqa: E731
             new_carry = (
-                sel(n_pb, pb), sel(n_pnb, pnb), sel(n_lm, lm_sc),
-                sel(n_last, last), sel(n_h1, h1), sel(n_h2, h2),
-                sel(n_ph1, ph1), sel(n_ph2, ph2), sel(n_alive, alive),
-                sel(n_wh1, wh1), sel(n_wh2, wh2), sel(n_wlen, wlen),
-                sel(n_hist, hist), sel(n_hcnt, hcnt),
+                jnp.where(upd, nF, F),
+                jnp.where(upd, nU, U),
+                jnp.where(upd, nI, I),
             )
             bp_par = jnp.where(upd, par, jnp.arange(W, dtype=jnp.int32))
             bp_ch = jnp.where(upd, ch, jnp.int32(-1))
             return new_carry, (bp_par, bp_ch)
 
-        carry = (pb, pnb, lm_sc, last, h1, h2, ph1, ph2, alive,
-                 wh1, wh2, wlen, hist, hcnt)
         ts = jnp.arange(T, dtype=jnp.int32)
-        carry, (bp_par, bp_ch) = jax.lax.scan(step, carry, (logp, ts))
-        (pb, pnb, lm_sc, last, h1, h2, ph1, ph2, alive,
-         wh1, wh2, wlen, hist, hcnt) = carry
+        (F, U, I), (bp_par, bp_ch) = jax.lax.scan(
+            step, (F, U, I), (logp, ts)
+        )
 
         # final ranking: the trailing partial word also scores as a word
         # (host beam_search.cpp sentence-end handling)
         fbonus, _ = _space_bonus(
-            wh1, wh2, wlen, hist, hcnt, lm_w, wc_w, vwc_w
+            U[:, _U_WH1],
+            U[:, _U_WH2],
+            I[:, _I_WLEN],
+            I[:, 4:],
+            I[:, _I_HCNT],
+            lm_w,
+            wc_w,
+            vwc_w,
         )
-        final = jnp.logaddexp(pb, pnb) + lm_sc + fbonus
-        final = jnp.where(alive, final, NEG)
+        final = (
+            jnp.logaddexp(F[:, _F_PB], F[:, _F_PNB]) + F[:, _F_LM] + fbonus
+        )
+        final = jnp.where(I[:, _I_ALIVE] > 0, final, NEG)
         winner = jnp.argmax(final).astype(jnp.int32)
 
         # backtrack the backpointer lattice (reverse scan), then compact
         def back(cur, xs):
             par_t, ch_t = xs
-            c = ch_t[cur]
-            return par_t[cur], c
+            return par_t[cur], ch_t[cur]
 
-        _, rev_chars = jax.lax.scan(
-            back, winner, (bp_par, bp_ch), reverse=True
-        )
-        seq = rev_chars  # already time-ordered: reverse scan emits ys[t]
+        _, seq = jax.lax.scan(back, winner, (bp_par, bp_ch), reverse=True)
         keep = seq >= 0
         pos = jnp.cumsum(keep) - 1
         pos = jnp.where(keep, pos, T)

@@ -101,14 +101,17 @@ class LanguageModelParameterSearch(Evaluation):
         return getattr(self.flags, "step_count", 1) or 1
 
     def _collect_emissions(self, state, beam: BeamSearchDecoder):
-        """Run the device forward once over the dev subset; cache emissions."""
+        """Run the device forward once over the dev subset; cache emissions.
+
+        With ``--device-beam`` the emissions stay device-resident so each
+        candidate re-runs only the on-chip beam (no tunnel round trips)."""
         cached = []
         with pmesh.use_mesh(self.mesh):
             for batch in self.create_loader():
                 _loss, logp, lengths = beam._device_part(state.params, batch)
                 cached.append(
                     (
-                        np.asarray(logp),
+                        logp if beam.device_beam else np.asarray(logp),
                         np.asarray(lengths),
                         np.asarray(batch.labels),
                         np.asarray(batch.label_lengths),

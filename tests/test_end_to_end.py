@@ -157,6 +157,50 @@ def test_evaluate_with_language_model(workdir, capsys):
     assert "Global statistics" in out
 
 
+def test_evaluate_with_device_beam(workdir, capsys):
+    """--device-beam runs the LM-fused beam on the accelerator itself and
+    must decode exactly like the host C++ beam on this fixture."""
+    lm_dir = _write_lm(workdir)
+
+    def decoded(out):
+        return [l for l in out.splitlines() if l.startswith("decoded:")]
+
+    stats_host = run_cli(
+        workdir,
+        "evaluate", "--test", "--step-count", "1", "--no-save",
+        "--language-model", str(lm_dir), "--beam-width", "8",
+    )
+    host_out = capsys.readouterr().out
+    stats_dev = run_cli(
+        workdir,
+        "evaluate", "--test", "--step-count", "1", "--no-save",
+        "--language-model", str(lm_dir), "--beam-width", "8",
+        "--device-beam",
+    )
+    dev_out = capsys.readouterr().out
+    assert stats_dev.decodings_counter == 1
+    assert decoded(dev_out) == decoded(host_out)
+    assert stats_dev.letter_error_rate == stats_host.letter_error_rate
+
+
+def test_device_beam_requires_arpa(workdir):
+    """A binary-only LM directory fails fast with a pointer to the ARPA."""
+    from speecht_tpu import native
+
+    arpa_dir = _write_lm(workdir)
+    bundle = workdir / "lm-binary-only"
+    bundle.mkdir(exist_ok=True)
+    native.lm_write_binary(
+        str(arpa_dir / "model.arpa"), str(bundle / "kenlm-model.binary")
+    )
+    with pytest.raises(FileNotFoundError, match="ARPA"):
+        run_cli(
+            workdir,
+            "evaluate", "--test", "--step-count", "1", "--no-save",
+            "--language-model", str(bundle), "--device-beam",
+        )
+
+
 def test_evaluate_with_kenlm_binary_bundle(workdir, capsys):
     # released-bundle layout: kenlm-model.binary + vocabulary (reference
     # speecht-cli:84-88); the binary is read natively and must decode
