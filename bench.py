@@ -219,8 +219,12 @@ ngram 2=2
 """
 
 
-def bench_beam_lm_eval(model, params):
-    """Pipelined beam+LM evaluate on blank-dominated (trained-like) logits."""
+def bench_beam_lm_eval(model, params, device_beam=False):
+    """Pipelined beam+LM evaluate on blank-dominated (trained-like) logits.
+
+    ``device_beam`` switches to the on-TPU beam (`--device-beam`): the
+    batch-parallel search replaces the host C++ beam, which on a small host
+    (1 core here) is the throughput limiter of this config."""
     import os
     import tempfile
 
@@ -262,7 +266,11 @@ def bench_beam_lm_eval(model, params):
             f.write(_TINY_ARPA)
         beam = BeamSearchDecoder(
             model,
-            LanguageModelConfig(language_model=lm_dir, beam_width=100),
+            LanguageModelConfig(
+                language_model=lm_dir,
+                beam_width=100,
+                device_beam=device_beam,
+            ),
         )
 
         # calibrate the input scale for a trained-like collapse ratio
@@ -294,6 +302,7 @@ def bench_beam_lm_eval(model, params):
             "frames_kept_after_collapse": round(kept_frac, 3),
             "host_cores": os.cpu_count(),
             "shape": f"B{BATCH}xT{T}",
+            "where": "device" if device_beam else "host",
         }
 
 
@@ -390,6 +399,10 @@ def main():
             ),
         ),
         ("beam_lm_eval", lambda: bench_beam_lm_eval(model, params)),
+        (
+            "beam_lm_eval_device",
+            lambda: bench_beam_lm_eval(model, params, device_beam=True),
+        ),
         ("from_audio_eval", lambda: bench_from_audio_eval(model, params)),
         ("streaming", lambda: bench_streaming(model, params)),
     ):

@@ -41,13 +41,14 @@ TPU-native design choices (vs a literal port of the host search):
   decoded sequence is reconstructed from a backpointer lattice by a second
   (reverse) scan. Beam state is packed into three [W, cols] slabs (f32 /
   u32 / i32) so post-selection reindexing is three gathers, not fourteen.
-- **LM tables as single-gather probes.** The ARPA backoff model compiles
-  into dense device arrays: unigrams direct-indexed by word id; ALL higher
-  orders in one unified bucketed hash arena whose rows pack
-  (key1, key2, prob, backoff) as one int32[slots, 4] block — a probe is one
-  contiguous row gather + compares, and the whole backoff walk for a word
-  batches its 2H-1 bucket keys into a single gather. Words resolve through
-  the same scheme keyed by a rolling hash of the partial word. No
+- **LM tables as minimal-traffic probes.** The ARPA backoff model compiles
+  into dense device arrays: unigrams direct-indexed by word id (one 12-byte
+  row per lookup); ALL higher orders in one unified bucketed hash arena
+  probed by a 4-slot key-row gather (32 B) followed by a single matched-slot
+  value fetch (8 B) — keys and values deliberately un-interleaved because
+  the probe is HBM random-access bound. The whole backoff walk for a word
+  batches its 2H-1 bucket keys into one gather. Words resolve through the
+  same scheme keyed by a rolling hash of the partial word. No
   data-dependent loops, nothing leaves the chip.
 
 Numerics: the host beam scores in f64; the device search runs in f32.
@@ -132,15 +133,17 @@ def _key_hash(tok: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 def _build_bucket_table(
-    k1: np.ndarray, k2: np.ndarray, values: list[np.ndarray], slots: int = 8
-) -> np.ndarray:
-    """Bucketed hash table packed for one-gather probes (host build).
+    k1: np.ndarray, k2: np.ndarray, values: list[np.ndarray], slots: int = 4
+) -> tuple[np.ndarray, np.ndarray]:
+    """Bucketed hash table split for minimal probe traffic (host build).
 
-    Returns int32 [NB, slots, 2 + len(values)] whose last axis packs
-    (key1, key2, *values) — float values bit-cast. NB is a power of two
-    chosen so no bucket overflows ``slots``: a device probe is then ONE
-    contiguous row gather + ``slots`` compares, with no data-dependent
-    probe chain.
+    Returns (keys int32 [NB, slots, 2], vals int32 [NB, slots, len(values)])
+    — float values bit-cast. NB is a power of two chosen so no bucket
+    overflows ``slots``: a device probe gathers one 8·slots-byte key row
+    (no data-dependent probe chain), and only the single matched slot's
+    value row is fetched afterwards. The arena probe is random-access
+    latency-bound on HBM, so bytes-per-probe is the metric that matters —
+    keys and values are deliberately NOT interleaved.
     """
     n = len(k1)
     nb = 1
@@ -152,8 +155,8 @@ def _build_bucket_table(
         if counts.max(initial=0) <= slots:
             break
         nb *= 2
-    cols = 2 + len(values)
-    table = np.zeros((nb, slots, cols), np.int32)
+    keys = np.zeros((nb, slots, 2), np.int32)
+    vals = np.zeros((nb, slots, len(values)), np.int32)
     if n:
         # vectorized fill: rows sorted by bucket get consecutive slots
         order = np.argsort(buckets, kind="stable")
@@ -161,39 +164,36 @@ def _build_bucket_table(
         first = np.zeros(nb, np.int64)
         np.cumsum(counts[:-1], out=first[1:])
         slot = np.arange(n, dtype=np.int64) - first[sb]
-        table[sb, slot, 0] = k1[order].view(np.int32)
-        table[sb, slot, 1] = k2[order].view(np.int32)
+        keys[sb, slot, 0] = k1[order].view(np.int32)
+        keys[sb, slot, 1] = k2[order].view(np.int32)
         for c, src in enumerate(values):
             src = np.asarray(src)
             if src.dtype == np.float32:
                 src = src.view(np.int32)
             else:
                 src = src.astype(np.int32)
-            table[sb, slot, 2 + c] = src[order]
-    return table
+            vals[sb, slot, c] = src[order]
+    return keys, vals
 
 
-def _probe(table: jax.Array, k1: jax.Array, k2: jax.Array):
-    """Probe a packed bucket table: (found [...], rows [..., slots, cols]).
+def _probe(keys: jax.Array, vals: jax.Array, k1: jax.Array, k2: jax.Array):
+    """Probe a split bucket table: (found [...], value rows [..., nv] i32).
 
-    One contiguous row gather; callers extract matched values with
-    ``_matched`` below.
+    One contiguous key-row gather + one matched-slot value fetch.
     """
-    nb = table.shape[0]
+    nb = keys.shape[0]
     b = jax.lax.bitcast_convert_type(k1 % jnp.uint32(nb), jnp.int32)
-    rows = table[b]  # [..., slots, cols]
+    rows = keys[b]  # [..., slots, 2]
     i1 = jax.lax.bitcast_convert_type(k1, jnp.int32)
     i2 = jax.lax.bitcast_convert_type(k2, jnp.int32)
     hit = (rows[..., 0] == i1[..., None]) & (rows[..., 1] == i2[..., None])
-    return jnp.any(hit, axis=-1), hit, rows
+    found = jnp.any(hit, axis=-1)
+    slot = jnp.argmax(hit, axis=-1).astype(jnp.int32)
+    return found, vals[b, slot]
 
 
-def _matched(hit, rows, col, as_float):
-    """Value of the (unique) matched slot in column ``col``; 0 if none."""
-    v = rows[..., col]
-    if as_float:
-        v = jax.lax.bitcast_convert_type(v, jnp.float32)
-    return jnp.sum(jnp.where(hit, v, jnp.zeros_like(v)), axis=-1)
+def _as_f32(v):
+    return jax.lax.bitcast_convert_type(v, jnp.float32)
 
 
 def _parse_arpa(path: str):
@@ -305,11 +305,16 @@ class DeviceLM:
             unk_floor = float(uprob[self.unk_id])
         self.unk_floor = unk_floor
 
-        tables = {
-            "uni_prob": jnp.asarray(uprob),
-            "uni_back": jnp.asarray(uback),
-            "uni_present": jnp.asarray(upresent),
-        }
+        # one 12-byte row gather per unigram lookup (prob, backoff, present)
+        uni = np.stack(
+            [
+                uprob.view(np.int32),
+                uback.view(np.int32),
+                upresent.astype(np.int32),
+            ],
+            axis=-1,
+        )
+        tables = {"uni": jnp.asarray(uni)}
 
         # unified arena: ALL orders 2..order in one bucketed table (the
         # key hash is sequence-length-sensitive, so orders cannot collide
@@ -332,9 +337,9 @@ class DeviceLM:
             k1 = np.zeros(0, np.uint32)
             k2 = np.zeros(0, np.uint32)
             prob = back = np.zeros(0, np.float32)
-        tables["arena"] = jnp.asarray(
-            _build_bucket_table(k1, k2, [prob, back])
-        )
+        ak, av = _build_bucket_table(k1, k2, [prob, back])
+        tables["arena_k"] = jnp.asarray(ak)
+        tables["arena_v"] = jnp.asarray(av)
 
         # valid-word set: explicit vocabulary file, else the LM's own words
         # (lowercased), minus specials — exactly the host trie's content
@@ -366,9 +371,9 @@ class DeviceLM:
         wk2 = np.array([k[1] for k in keys], np.uint32).reshape(-1)
         wid_arr = np.array([v[0] for v in keys.values()], np.int32)
         val_arr = np.array([v[1] for v in keys.values()], np.int32)
-        tables["words"] = jnp.asarray(
-            _build_bucket_table(wk1, wk2, [wid_arr, val_arr])
-        )
+        wk, wv = _build_bucket_table(wk1, wk2, [wid_arr, val_arr])
+        tables["words_k"] = jnp.asarray(wk)
+        tables["words_v"] = jnp.asarray(wv)
         self.tables = tables
 
 
@@ -385,22 +390,20 @@ def _make_lm_fns(lm: DeviceLM | None):
     H = lm.hist_len
     unk_id = lm.unk_id
     unk_floor = jnp.float32(lm.unk_floor)
-    nuni = t["uni_prob"].shape[0]
+    nuni = t["uni"].shape[0]
 
     def word_lookup(wh1, wh2):
-        found, hit, rows = _probe(t["words"], wh1, wh2)
-        wid = _matched(hit, rows, 2, as_float=False)
-        valid = _matched(hit, rows, 3, as_float=False)
-        wid = jnp.where(found, wid, jnp.int32(unk_id))
-        valid = jnp.where(found, valid, 0).astype(jnp.float32)
+        found, v = _probe(t["words_k"], t["words_v"], wh1, wh2)
+        wid = jnp.where(found, v[..., 0], jnp.int32(unk_id))
+        valid = jnp.where(found, v[..., 1], 0).astype(jnp.float32)
         return wid, valid
 
     def uni_lookup(wid):
         inb = (wid >= 0) & (wid < nuni)
         safe = jnp.clip(wid, 0, nuni - 1)
-        return inb & t["uni_present"][safe], t["uni_prob"][safe], t[
-            "uni_back"
-        ][safe]
+        row = t["uni"][safe]  # [., 3]
+        found = inb & (row[..., 2] > 0)
+        return found, _as_f32(row[..., 0]), _as_f32(row[..., 1])
 
     def ngram_score(hist, hcnt, wid):
         """log10 P(wid | hist) with Katz backoff — the host score() twin.
@@ -427,9 +430,9 @@ def _make_lm_fns(lm: DeviceLM | None):
                 k2s.append(b)
             k1 = jnp.stack(k1s, axis=-1)  # [., L]
             k2 = jnp.stack(k2s, axis=-1)
-            found_l, hit_l, rows_l = _probe(t["arena"], k1, k2)
-            prob_l = _matched(hit_l, rows_l, 2, as_float=True)
-            back_l = _matched(hit_l, rows_l, 3, as_float=True)
+            found_l, v_l = _probe(t["arena_k"], t["arena_v"], k1, k2)
+            prob_l = _as_f32(v_l[..., 0])
+            back_l = _as_f32(v_l[..., 1])
 
         def level(n):
             """(found, prob, backoff) of the n-gram ending at the word."""

@@ -344,13 +344,16 @@ class TestKeyHashing:
         )
         k1, k2 = k1[unique_idx], k2[unique_idx]
         vals = np.arange(len(k1), dtype=np.float32)
-        table = beam_device._build_bucket_table(k1, k2, [vals])
+        keys_t, vals_t = beam_device._build_bucket_table(k1, k2, [vals])
         import jax.numpy as jnp
 
-        found, hit, rows = beam_device._probe(
-            jnp.asarray(table), jnp.asarray(k1), jnp.asarray(k2)
+        found, v = beam_device._probe(
+            jnp.asarray(keys_t),
+            jnp.asarray(vals_t),
+            jnp.asarray(k1),
+            jnp.asarray(k2),
         )
-        got = beam_device._matched(hit, rows, 2, as_float=True)
+        got = beam_device._as_f32(v[..., 0])
         assert bool(np.asarray(found).all())
         np.testing.assert_array_equal(np.asarray(got), vals)
         # a missing (non-marker) key is not found; note (0, 0) is the
@@ -358,8 +361,9 @@ class TestKeyHashing:
         present = set(zip(k1.tolist(), k2.tolist()))
         miss = (7, 9)
         assert miss not in present
-        miss_f, _, _ = beam_device._probe(
-            jnp.asarray(table),
+        miss_f, _ = beam_device._probe(
+            jnp.asarray(keys_t),
+            jnp.asarray(vals_t),
             jnp.asarray(np.array([miss[0]], np.uint32)),
             jnp.asarray(np.array([miss[1]], np.uint32)),
         )
