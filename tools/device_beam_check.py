@@ -1,0 +1,124 @@
+"""Hardware validation of the on-device beam search on a real model.
+
+Overfits the bundled fixture utterance on the real chip (CLI preprocess ->
+train), then evaluates the SAME checkpoint three ways — greedy, host C++
+beam + LM, and `--device-beam` + LM — asserting the two beams decode
+identically and reporting per-path wall time. This is the end-to-end
+signal the synthetic throughput probe cannot give: real trained emissions,
+real blank collapse ratios, the CLI wiring, and LM shallow fusion on the
+TPU all have to agree with the host oracle for the transcripts to match.
+
+Usage: python tools/device_beam_check.py [steps]
+"""
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from speecht_tpu import runtime
+
+runtime.enable_compilation_cache()
+
+FIXTURE_DIR = "/root/reference/speecht/tests/data/train"
+FIXTURE_ID = "1089-134686-0037"
+EXPECTED = "in the silence their dark fire kindled the dusk into a tawny glow"
+
+ARPA_HEADER = "\\data\\\nngram 1={n1}\nngram 2={n2}\n\n"
+
+
+def build_lm(lm_dir: str) -> None:
+    """Tiny word LM over the fixture transcript (+ <s>/</s>/<unk>)."""
+    words = EXPECTED.split()
+    uni = sorted(set(words))
+    bi = sorted(set(zip(words[:-1], words[1:])))
+    with open(os.path.join(lm_dir, "model.arpa"), "w") as f:
+        f.write(ARPA_HEADER.format(n1=len(uni) + 3, n2=len(bi) + 1))
+        f.write("\\1-grams:\n-2.2\t<unk>\n-0.9\t<s>\t-0.4\n-1.0\t</s>\n")
+        for w in uni:
+            f.write(f"-1.3\t{w}\t-0.4\n")
+        f.write("\n\\2-grams:\n")
+        f.write(f"-0.4\t<s> {words[0]}\n")
+        for a, b in bi:
+            f.write(f"-0.5\t{a} {b}\n")
+        f.write("\n\\end\\\n")
+    with open(os.path.join(lm_dir, "vocabulary"), "w") as f:
+        f.write("\n".join(uni) + "\n")
+
+
+def main(steps: int = 250):
+    from speecht_tpu import corpus as corpus_mod
+    from speecht_tpu.cli import CLI
+
+    root = tempfile.mkdtemp(prefix="devbeam_")
+    data = os.path.join(root, "data")
+    for split in ("train", "test", "dev"):
+        d = os.path.join(data, split)
+        os.makedirs(d)
+        shutil.copy(os.path.join(FIXTURE_DIR, FIXTURE_ID + ".flac"), d)
+        shutil.copy(os.path.join(FIXTURE_DIR, "1089-134686.trans.txt"), d)
+    for set_type, set_name in corpus_mod.DATA_SETS:
+        os.makedirs(os.path.join(data, set_type, set_name), exist_ok=True)
+    lm_dir = os.path.join(root, "lm")
+    os.makedirs(lm_dir)
+    build_lm(lm_dir)
+
+    common = [
+        "--data-dir", data,
+        "--train-dir", os.path.join(root, "train"),
+        "--log-dir", os.path.join(root, "log"),
+        "--run-name", "devbeam",
+        "--batch-size", "1",
+    ]
+    CLI(["preprocess", "--num-workers", "1"] + common).run()
+    CLI(
+        [
+            "train",
+            "--max-steps", str(steps),
+            "--steps-per-checkpoint", str(steps),
+            "--learning-rate", "3e-4",
+        ]
+        + common
+    ).run()
+
+    results = {}
+    for name, extra in (
+        ("greedy", []),
+        ("host_beam", ["--language-model", lm_dir, "--beam-width", "100"]),
+        (
+            "device_beam",
+            [
+                "--language-model", lm_dir, "--beam-width", "100",
+                "--device-beam",
+            ],
+        ),
+    ):
+        start = time.perf_counter()
+        stats = CLI(
+            ["evaluate", "--test", "--step-count", "1", "--no-save"]
+            + extra
+            + common
+        ).run()
+        results[name] = (
+            stats.global_letter_error_rate,
+            stats.global_word_error_rate,
+            time.perf_counter() - start,
+        )
+
+    print()
+    for name, (ler, wer, dt) in results.items():
+        print(f"{name:12s} LER {ler:.3f} WER {wer:.3f} wall {dt:.1f}s")
+    ok = (
+        results["greedy"][0] < 0.05
+        and results["host_beam"][:2] == results["device_beam"][:2]
+    )
+    print("DEVICE BEAM CHECK:", "PASS" if ok else "FAIL")
+    shutil.rmtree(root, ignore_errors=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 250))
