@@ -281,6 +281,50 @@ def test_parameter_search(workdir, capsys):
     assert "Candidate" in out
 
 
+def test_parameter_search_device_beam(workdir, capsys):
+    """search --device-beam: candidates re-run the on-chip beam over
+    device-resident cached emissions."""
+    lm_dir = _write_lm(workdir)
+    from speecht_tpu.cli import CLI
+
+    cli = CLI(
+        [
+            "search",
+            "--language-model", str(lm_dir),
+            "--device-beam",
+            "--noise-std", "0.5",
+            "--population-size", "3",
+            "--step-count", "1",
+            "--beam-width", "8",
+            "--data-dir", str(workdir / "data"),
+            "--train-dir", str(workdir / "train"),
+            "--log-dir", str(workdir / "log"),
+            "--run-name", "e2e",
+            "--batch-size", "1",
+        ]
+    )
+    cli._ensure_directories()
+    candidates = cli.command_executor.run(max_iterations=2)
+    assert len(candidates) >= 1
+    assert all(c.score is not None for c in candidates)
+    capsys.readouterr()
+
+
+def test_evaluate_from_audio_device_beam(workdir, capsys):
+    """--from-audio --device-beam: raw audio -> on-device front end ->
+    forward -> blank collapse -> on-device LM beam, one chip round trip."""
+    lm_dir = _write_lm(workdir)
+    stats = run_cli(
+        workdir,
+        "evaluate", "--test", "--step-count", "1", "--no-save",
+        "--from-audio",
+        "--language-model", str(lm_dir), "--beam-width", "8",
+        "--device-beam",
+    )
+    assert stats.decodings_counter == 1
+    capsys.readouterr()
+
+
 def test_evaluate_from_audio_matches_cached(workdir, capsys):
     # on-device front end must produce the same decode as the cached path
     stats_cached = run_cli(
