@@ -531,7 +531,7 @@ def make_device_beam_search(
         U = U.at[:, _U_WH1].set(_WSEED1).at[:, _U_WH2].set(_WSEED2)
         I = jnp.zeros((W, 4 + H), jnp.int32)
         I = I.at[:, _I_LAST].set(-1).at[0, _I_ALIVE].set(1)
-        if bos_id >= 0:
+        if bos_id >= 0 and H > 0:
             I = I.at[:, 4 + H - 1].set(bos_id).at[:, _I_HCNT].set(1)
 
         def step(carry, xs):
@@ -656,13 +656,16 @@ def make_device_beam_search(
                 Ip[:, _I_HCNT],
             )
             n_alive = (tv > NEG / 2).astype(jnp.int32)
-            n_hist = jnp.where(
-                completes[:, None],
-                jnp.concatenate(
-                    [Ip[:, 5:], jnp.take(wid, par)[:, None]], axis=-1
-                ),
-                Ip[:, 4:],
-            )
+            if H > 0:
+                n_hist = jnp.where(
+                    completes[:, None],
+                    jnp.concatenate(
+                        [Ip[:, 5:], jnp.take(wid, par)[:, None]], axis=-1
+                    ),
+                    Ip[:, 4:],
+                )
+            else:  # unigram-only LM: no history to shift
+                n_hist = Ip[:, 4:]
 
             nF = jnp.stack([cand_pb[idx], cand_pnb[idx], cand_lm[idx]], 1)
             nU = jnp.stack([n_h1, n_h2, n_ph1, n_ph2, n_wh1, n_wh2], 1)

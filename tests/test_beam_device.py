@@ -300,6 +300,33 @@ class TestWithLM:
                 assert abs(sh - sd) < 0.1, (sh, sd)
         assert mismatches <= 4
 
+    def test_unigram_only_lm(self):
+        """An order-1 ARPA (no history at all) decodes like the host."""
+        arpa = (
+            "\\data\\\nngram 1=5\n\n\\1-grams:\n"
+            "-1.5\t<unk>\n-0.5\t<s>\n-0.6\t</s>\n-0.8\tthe\n-1.1\tcat\n"
+            "\n\\end\\\n"
+        )
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "model.arpa")
+            with open(path, "w") as f:
+                f.write(arpa)
+            host = native.NGramLM(path, None)
+            dev = beam_device.DeviceLM(path, None)
+        assert dev.hist_len == 0
+        width = 8
+        fn = beam_device.make_device_beam_search(width, lm=dev)
+        rng = np.random.RandomState(9)
+        for _ in range(5):
+            T = rng.randint(4, 25)
+            logp = _logp(
+                rng, 1, T, scale=2.0, favored=self.FAVORED, boost=4.0
+            )
+            ids, lens = fn(logp, np.array([T], np.int32), 1.5, 0.5, 1.2)
+            devd = [int(x) for x in np.asarray(ids)[0][: int(lens[0])]]
+            ref = _host_decode(logp[0], width, host, 1.5, 0.5, 1.2)
+            assert devd == ref
+
     def test_weights_are_runtime_arguments(self, dev_lm):
         """Same compiled fn, different fusion weights -> different result
         (the search placeholders never bake into the executable)."""
