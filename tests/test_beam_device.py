@@ -344,6 +344,41 @@ class TestWithLM:
         assert len(outs) >= 2  # weights actually steer the search
 
 
+class TestDeviceLMRobustness:
+    def test_garbage_arpa_raises(self):
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "model.arpa")
+            with open(path, "wb") as f:
+                f.write(b"\x00\x01\x02 not an arpa file \xff\xfe")
+            with pytest.raises(ValueError, match="no n-grams"):
+                beam_device.DeviceLM(path)
+
+    def test_empty_file_raises(self):
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "model.arpa")
+            open(path, "w").close()
+            with pytest.raises(ValueError, match="no n-grams"):
+                beam_device.DeviceLM(path)
+
+    def test_malformed_entries_skipped(self):
+        """Rows with bad floats / missing words are skipped, not fatal
+        (same tolerance as the native ARPA parser)."""
+        arpa = (
+            "\\data\\\nngram 1=3\n\n\\1-grams:\n"
+            "-1.0\t<unk>\n"
+            "notafloat\tthe\n"      # bad prob: skipped
+            "-0.9\n"                # missing word: skipped
+            "-0.8\tcat\t-0.2\n"
+            "\n\\end\\\n"
+        )
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "model.arpa")
+            with open(path, "w") as f:
+                f.write(arpa)
+            lm = beam_device.DeviceLM(path)
+        assert lm.order == 1
+
+
 class TestKeyHashing:
     def test_device_and_host_hashes_agree(self):
         import jax.numpy as jnp
