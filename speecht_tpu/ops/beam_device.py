@@ -483,6 +483,7 @@ def make_device_beam_search(
     beam_width: int,
     lm: DeviceLM | None = None,
     prune_top_k: int = 8,
+    n_best: int = 1,
 ):
     """Builds a jittable batch beam search.
 
@@ -497,7 +498,16 @@ def make_device_beam_search(
     ``prune_top_k`` mirrors the host binding's per-frame emission pruning
     (default 8): only the frame's top-k chars (+ blank) spawn candidates.
     0 considers every char.
+
+    ``n_best > 1`` returns the n best final hypotheses per row instead —
+    ``(ids [B, n, T], lengths [B, n], scores [B, n])``, scores descending
+    (ln acoustic + fused LM, incl. the sentence-end word bonus). The final
+    beam set IS the n-best list, so this is free on device — a capability
+    the host beam does not expose (reference top_paths fixed at 1,
+    speech_model.py:110) and the backbone of rescoring pipelines.
     """
+    if not 1 <= n_best <= beam_width:
+        raise ValueError("n_best must be in [1, beam_width]")
     W = beam_width
     word_lookup, ngram_score = _make_lm_fns(lm)
     H = lm.hist_len if lm is not None else 1
@@ -706,20 +716,28 @@ def make_device_beam_search(
             jnp.logaddexp(F[:, _F_PB], F[:, _F_PNB]) + F[:, _F_LM] + fbonus
         )
         final = jnp.where(I[:, _I_ALIVE] > 0, final, NEG)
-        winner = jnp.argmax(final).astype(jnp.int32)
+        scores, winners = jax.lax.top_k(final, n_best)  # [n]
 
         # backtrack the backpointer lattice (reverse scan), then compact
         def back(cur, xs):
             par_t, ch_t = xs
             return par_t[cur], ch_t[cur]
 
-        _, seq = jax.lax.scan(back, winner, (bp_par, bp_ch), reverse=True)
-        keep = seq >= 0
-        pos = jnp.cumsum(keep) - 1
-        pos = jnp.where(keep, pos, T)
-        out = jnp.full((T + 1,), vocabulary.PAD_ID, jnp.int32)
-        out = out.at[pos].set(seq, mode="drop")
-        return out[:T], jnp.sum(keep).astype(jnp.int32)
+        def extract(winner):
+            _, seq = jax.lax.scan(
+                back, winner, (bp_par, bp_ch), reverse=True
+            )
+            keep = seq >= 0
+            pos = jnp.cumsum(keep) - 1
+            pos = jnp.where(keep, pos, T)
+            out = jnp.full((T + 1,), vocabulary.PAD_ID, jnp.int32)
+            out = out.at[pos].set(seq, mode="drop")
+            return out[:T], jnp.sum(keep).astype(jnp.int32)
+
+        ids_n, len_n = jax.vmap(extract)(winners)  # [n, T], [n]
+        if n_best == 1:
+            return ids_n[0], len_n[0]
+        return ids_n, len_n, scores
 
     @functools.partial(jax.jit)
     def beam_search(logp, lengths, lm_weight, word_count_weight,

@@ -344,6 +344,44 @@ class TestWithLM:
         assert len(outs) >= 2  # weights actually steer the search
 
 
+class TestNBest:
+    def test_top1_matches_default(self, dev_lm):
+        rng = np.random.RandomState(21)
+        logp = _logp(rng, 2, 30, scale=2.0, favored=TestWithLM.FAVORED,
+                     boost=4.0)
+        lengths = np.array([30, 22], np.int32)
+        fn1 = beam_device.make_device_beam_search(8, lm=dev_lm)
+        fnn = beam_device.make_device_beam_search(8, lm=dev_lm, n_best=4)
+        ids1, len1 = fn1(logp, lengths, 1.5, 0.5, 1.2)
+        idsn, lenn, scores = fnn(logp, lengths, 1.5, 0.5, 1.2)
+        assert idsn.shape[1] == 4 and scores.shape == (2, 4)
+        for b in range(2):
+            best = list(np.asarray(idsn)[b, 0][: int(lenn[b, 0])])
+            ref = list(np.asarray(ids1)[b][: int(len1[b])])
+            assert best == ref
+
+    def test_scores_descend_and_hypotheses_distinct(self, dev_lm):
+        rng = np.random.RandomState(22)
+        logp = _logp(rng, 1, 25, scale=2.0, favored=TestWithLM.FAVORED,
+                     boost=4.0)
+        fn = beam_device.make_device_beam_search(12, lm=dev_lm, n_best=5)
+        ids, lens, scores = fn(logp, np.array([25], np.int32), 1.5, 0.5, 1.2)
+        s = np.asarray(scores)[0]
+        assert (np.diff(s) <= 1e-5).all()
+        hyps = [
+            tuple(np.asarray(ids)[0, i][: int(lens[0, i])])
+            for i in range(5)
+        ]
+        live = [h for h, sc in zip(hyps, s) if sc > -1e29]
+        assert len(set(live)) == len(live)  # beams are distinct prefixes
+
+    def test_n_best_bounds(self, dev_lm):
+        with pytest.raises(ValueError):
+            beam_device.make_device_beam_search(4, lm=dev_lm, n_best=5)
+        with pytest.raises(ValueError):
+            beam_device.make_device_beam_search(4, lm=dev_lm, n_best=0)
+
+
 class TestDeviceLMRobustness:
     def test_garbage_arpa_raises(self):
         with tempfile.TemporaryDirectory() as d:

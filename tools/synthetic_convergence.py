@@ -127,28 +127,44 @@ def main(n_train: int = 400, steps: int = 600):
         ["evaluate", "--test", "--no-save"] + common
     ).run()
 
-    # LM shallow fusion should repair residual spelling errors
+    # LM shallow fusion should repair residual spelling errors; the
+    # on-device beam must reproduce the host beam's held-out metrics
+    import time
+
     lm_dir = write_lm(root)
-    lm_stats = CLI(
-        [
-            "evaluate", "--test", "--no-save",
-            "--language-model", lm_dir,
-            "--lm-weight", "0.4",
-            "--valid-word-count-weight", "2.3",
-        ]
-        + common
-    ).run()
+    lm_args = [
+        "evaluate", "--test", "--no-save",
+        "--language-model", lm_dir,
+        "--lm-weight", "0.4",
+        "--valid-word-count-weight", "2.3",
+    ]
+    t0 = time.perf_counter()
+    lm_stats = CLI(lm_args + common).run()
+    host_wall = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dev_stats = CLI(lm_args + ["--device-beam"] + common).run()
+    dev_wall = time.perf_counter() - t0
 
     print(f"\nheld-out greedy  LER: {stats.global_letter_error_rate:.3f} "
           f"WER: {stats.global_word_error_rate:.3f}")
     print(f"held-out beam+LM LER: {lm_stats.global_letter_error_rate:.3f} "
-          f"WER: {lm_stats.global_word_error_rate:.3f}")
+          f"WER: {lm_stats.global_word_error_rate:.3f} "
+          f"(host beam, {host_wall:.1f}s)")
+    print(f"held-out beam+LM LER: {dev_stats.global_letter_error_rate:.3f} "
+          f"WER: {dev_stats.global_word_error_rate:.3f} "
+          f"(device beam, {dev_wall:.1f}s)")
     ok = stats.global_letter_error_rate < 0.05
     lm_ok = lm_stats.global_word_error_rate <= stats.global_word_error_rate
+    dev_ok = (
+        dev_stats.global_word_error_rate == lm_stats.global_word_error_rate
+        and dev_stats.global_letter_error_rate
+        == lm_stats.global_letter_error_rate
+    )
     print("SYNTHETIC CONVERGENCE:", "PASS" if ok else "FAIL")
     print("LM FUSION IMPROVES/HOLDS WER:", "PASS" if lm_ok else "FAIL")
+    print("DEVICE BEAM == HOST BEAM:", "PASS" if dev_ok else "FAIL")
     shutil.rmtree(root, ignore_errors=True)
-    return 0 if (ok and lm_ok) else 1
+    return 0 if (ok and lm_ok and dev_ok) else 1
 
 
 if __name__ == "__main__":
