@@ -59,8 +59,6 @@ ties; the parity tests cover both regimes.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -145,6 +143,18 @@ def _build_bucket_table(
     latency-bound on HBM, so bytes-per-probe is the metric that matters —
     keys and values are deliberately NOT interleaved.
     """
+    # dedup, keeping the LAST occurrence of a key (host ArpaScorer map
+    # assignment semantics for a duplicated n-gram) — identical keys would
+    # otherwise collide in every bucket and double nb without bound
+    if len(k1):
+        packed = (k1.astype(np.uint64) << np.uint64(32)) | k2.astype(
+            np.uint64
+        )
+        _, first_of_rev = np.unique(packed[::-1], return_index=True)
+        keep = np.sort(len(packed) - 1 - first_of_rev)
+        if len(keep) != len(packed):
+            k1, k2 = k1[keep], k2[keep]
+            values = [np.asarray(v)[keep] for v in values]
     n = len(k1)
     nb = 1
     while nb * slots < max(2 * n, slots):
@@ -155,6 +165,11 @@ def _build_bucket_table(
         if counts.max(initial=0) <= slots:
             break
         nb *= 2
+        if nb > (1 << 28):  # > 1e9 slots: hash pathology, not table load
+            raise ValueError(
+                "bucket table cannot satisfy the slot bound; "
+                "degenerate key distribution"
+            )
     keys = np.zeros((nb, slots, 2), np.int32)
     vals = np.zeros((nb, slots, len(values)), np.int32)
     if n:
@@ -512,6 +527,13 @@ def make_device_beam_search(
     word_lookup, ngram_score = _make_lm_fns(lm)
     H = lm.hist_len if lm is not None else 1
     bos_id = lm.bos_id if lm is not None else -1
+    # host history semantics (beam_search.cpp): <s> is PINNED and the word
+    # ring holds at most 4 completed words. For H <= 4 a sliding window
+    # over the bos+words stream is identical; at H == 5 (order >= 6 LMs)
+    # the bos slot must not shift out, and without <s> the real-token
+    # count caps at 4 so padding never enters an applicable window.
+    pin_bos = H == 5 and bos_id >= 0
+    hcnt_cap = H if bos_id >= 0 else min(H, 4)
 
     def _space_bonus(wh1, wh2, wlen, hist, hcnt, lm_w, wc_w, vwc_w):
         """Shallow-fusion bonus for completing the current partial word.
@@ -662,18 +684,21 @@ def make_device_beam_search(
             )
             n_hcnt = jnp.where(
                 completes,
-                jnp.minimum(Ip[:, _I_HCNT] + 1, H),
+                jnp.minimum(Ip[:, _I_HCNT] + 1, hcnt_cap),
                 Ip[:, _I_HCNT],
             )
             n_alive = (tv > NEG / 2).astype(jnp.int32)
             if H > 0:
-                n_hist = jnp.where(
-                    completes[:, None],
-                    jnp.concatenate(
-                        [Ip[:, 5:], jnp.take(wid, par)[:, None]], axis=-1
-                    ),
-                    Ip[:, 4:],
-                )
+                wid_col = jnp.take(wid, par)[:, None]
+                if pin_bos:  # keep <s> in slot 0, shift the word ring
+                    shifted = jnp.concatenate(
+                        [Ip[:, 4:5], Ip[:, 6:], wid_col], axis=-1
+                    )
+                else:
+                    shifted = jnp.concatenate(
+                        [Ip[:, 5:], wid_col], axis=-1
+                    )
+                n_hist = jnp.where(completes[:, None], shifted, Ip[:, 4:])
             else:  # unigram-only LM: no history to shift
                 n_hist = Ip[:, 4:]
 
@@ -739,7 +764,7 @@ def make_device_beam_search(
             return ids_n[0], len_n[0]
         return ids_n, len_n, scores
 
-    @functools.partial(jax.jit)
+    @jax.jit
     def beam_search(logp, lengths, lm_weight, word_count_weight,
                     valid_word_count_weight):
         lm_w = jnp.float32(lm_weight)

@@ -382,7 +382,150 @@ class TestNBest:
             beam_device.make_device_beam_search(4, lm=dev_lm, n_best=0)
 
 
+class TestHighOrderLM:
+    def test_order6_history_pins_bos_like_host(self):
+        """Host semantics: <s> is pinned and the ring holds the last 4
+        words. With a 6-gram LM (H=5) the device hist must keep <s> in
+        slot 0 as words shift through — scores are compared against the
+        host scorer for histories longer than the 4-word ring."""
+        import jax.numpy as jnp
+
+        words = ["aa", "bb", "cc", "dd", "ee", "ff"]
+        lines_by_n = {1: [], 2: [], 3: [], 4: [], 5: [], 6: []}
+        lines_by_n[1] = (
+            ["-1.5\t<unk>", "-0.5\t<s>\t-0.4", "-0.6\t</s>"]
+            + [f"-1.{i}\t{w}\t-0.3" for i, w in enumerate(words)]
+        )
+        # a full 6-gram chain over <s> aa bb cc dd ee ff with backoffs
+        chain = ["<s>"] + words
+        for n in range(2, 7):
+            for i in range(len(chain) - n + 1):
+                gram = " ".join(chain[i : i + n])
+                bo = "\t-0.2" if n < 6 else ""
+                lines_by_n[n].append(f"-0.{n}{i}\t{gram}{bo}")
+        arpa = "\\data\\\n"
+        for n in range(1, 7):
+            arpa += f"ngram {n}={len(lines_by_n[n])}\n"
+        arpa += "\n"
+        for n in range(1, 7):
+            arpa += f"\\{n}-grams:\n" + "\n".join(lines_by_n[n]) + "\n\n"
+        arpa += "\\end\\\n"
+
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "model.arpa")
+            with open(path, "w") as f:
+                f.write(arpa)
+            host = native.NGramLM(path, None)
+            dev = beam_device.DeviceLM(path, None)
+        assert dev.order == 6 and dev.hist_len == 5
+        wl, ns = beam_device._make_lm_fns(dev)
+
+        def wid_of(w):
+            cids = beam_device._word_char_ids(w)
+            wh = beam_device._np_word_hash(np.array(cids, np.int64))
+            wid, _ = wl(jnp.asarray([wh[0]]), jnp.asarray([wh[1]]))
+            return int(wid[0])
+
+        # device hist after k completed words, built by the BEAM's update
+        # rule: <s> pinned in slot 0, last-4-word ring behind it
+        for k in range(0, 6):
+            hist_words = words[:k]
+            hist = np.zeros(5, np.int32)
+            toks = [dev.bos_id] + [wid_of(w) for w in hist_words]
+            if len(toks) <= 5:
+                hist[5 - len(toks):] = toks
+                hcnt = len(toks)
+            else:
+                hist[0] = toks[0]  # pinned <s>
+                hist[1:] = toks[-4:]
+                hcnt = 5
+            for w in words:
+                got = float(
+                    ns(
+                        jnp.asarray(hist)[None],
+                        jnp.asarray([hcnt]),
+                        jnp.asarray([wid_of(w)]),
+                    )[0]
+                )
+                want = host.score_word(" ".join(hist_words[-4:]), w)
+                assert abs(got - want) < 1e-5, (k, hist_words, w, got, want)
+
+    def test_order6_decode_parity(self):
+        """Full decodes against the host beam with a 6-gram LM: the
+        pinned history must not produce systematic divergence."""
+        arpa_words = ["at", "ta", "cat", "act"]
+        lines = ["-1.5\t<unk>", "-0.5\t<s>\t-0.4", "-0.6\t</s>"] + [
+            f"-1.1\t{w}\t-0.3" for w in arpa_words
+        ]
+        arpa = (
+            f"\\data\\\nngram 1={len(lines)}\nngram 6=1\n\n"
+            "\\1-grams:\n" + "\n".join(lines) + "\n\n"
+            "\\6-grams:\n-0.3\t<s> at ta cat act at\n\n\\end\\\n"
+        )
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "model.arpa")
+            with open(path, "w") as f:
+                f.write(arpa)
+            host = native.NGramLM(path, None)
+            dev = beam_device.DeviceLM(path, None)
+        width = 8
+        fn = beam_device.make_device_beam_search(width, lm=dev)
+        rng = np.random.RandomState(31)
+        matches = 0
+        for _ in range(10):
+            T = rng.randint(10, 40)
+            logp = _logp(
+                rng, 1, T, scale=2.0, favored=TestWithLM.FAVORED, boost=4.0
+            )
+            ids, lens = fn(logp, np.array([T], np.int32), 1.5, 0.5, 1.2)
+            devd = [int(x) for x in np.asarray(ids)[0][: int(lens[0])]]
+            ref = _host_decode(logp[0], width, host, 1.5, 0.5, 1.2)
+            matches += devd == ref
+        assert matches >= 8  # residual f32/f64 pruning ties only
+
+
 class TestDeviceLMRobustness:
+    def test_duplicated_ngram_rows_keep_last_like_host(self):
+        """The same n-gram repeated 5+ times must neither hang the table
+        build (identical keys collide in every bucket) nor diverge from
+        the host, whose map assignment keeps the LAST occurrence."""
+        import jax.numpy as jnp
+
+        dup = "\n".join(["-%d.0\tthe cat\t-0.1" % p for p in (1, 2, 3, 4, 5)])
+        arpa = (
+            "\\data\\\nngram 1=4\nngram 2=5\n\n\\1-grams:\n"
+            "-1.5\t<unk>\n-0.5\t<s>\t-0.4\n-0.9\tthe\t-0.3\n-1.2\tcat\n\n"
+            "\\2-grams:\n" + dup + "\n\n\\end\\\n"
+        )
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "model.arpa")
+            with open(path, "w") as f:
+                f.write(arpa)
+            host = native.NGramLM(path, None)
+            dev = beam_device.DeviceLM(path, None)  # must not hang/OOM
+        wl, ns = beam_device._make_lm_fns(dev)
+        cids = beam_device._word_char_ids("the")
+        wh = beam_device._np_word_hash(np.array(cids, np.int64))
+        wid_the, _ = wl(jnp.asarray([wh[0]]), jnp.asarray([wh[1]]))
+        cids = beam_device._word_char_ids("cat")
+        wh = beam_device._np_word_hash(np.array(cids, np.int64))
+        wid_cat, _ = wl(jnp.asarray([wh[0]]), jnp.asarray([wh[1]]))
+        H = dev.hist_len
+        hist = np.zeros(H, np.int32)
+        toks = ([dev.bos_id] if dev.bos_id >= 0 else []) + [int(wid_the[0])]
+        toks = toks[-H:]
+        hist[H - len(toks):] = toks
+        got = float(
+            ns(
+                jnp.asarray(hist)[None],
+                jnp.asarray([len(toks)]),
+                wid_cat,
+            )[0]
+        )
+        want = host.score_word("the", "cat")
+        assert want == -5.0  # host keeps the LAST duplicate
+        assert abs(got - want) < 1e-5
+
     def test_garbage_arpa_raises(self):
         with tempfile.TemporaryDirectory() as d:
             path = os.path.join(d, "model.arpa")

@@ -18,14 +18,13 @@ import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from speecht_tpu import runtime
 
 runtime.enable_compilation_cache()
 
-FIXTURE_DIR = "/root/reference/speecht/tests/data/train"
-FIXTURE_ID = "1089-134686-0037"
-EXPECTED = "in the silence their dark fire kindled the dusk into a tawny glow"
+from fixture_corpus import EXPECTED, make_fixture_corpus, preprocess_and_train  # noqa: E402
 
 ARPA_HEADER = "\\data\\\nngram 1={n1}\nngram 2={n2}\n\n"
 
@@ -50,39 +49,15 @@ def build_lm(lm_dir: str) -> None:
 
 
 def main(steps: int = 250):
-    from speecht_tpu import corpus as corpus_mod
     from speecht_tpu.cli import CLI
 
     root = tempfile.mkdtemp(prefix="devbeam_")
-    data = os.path.join(root, "data")
-    for split in ("train", "test", "dev"):
-        d = os.path.join(data, split)
-        os.makedirs(d)
-        shutil.copy(os.path.join(FIXTURE_DIR, FIXTURE_ID + ".flac"), d)
-        shutil.copy(os.path.join(FIXTURE_DIR, "1089-134686.trans.txt"), d)
-    for set_type, set_name in corpus_mod.DATA_SETS:
-        os.makedirs(os.path.join(data, set_type, set_name), exist_ok=True)
+    make_fixture_corpus(root)
     lm_dir = os.path.join(root, "lm")
     os.makedirs(lm_dir)
     build_lm(lm_dir)
 
-    common = [
-        "--data-dir", data,
-        "--train-dir", os.path.join(root, "train"),
-        "--log-dir", os.path.join(root, "log"),
-        "--run-name", "devbeam",
-        "--batch-size", "1",
-    ]
-    CLI(["preprocess", "--num-workers", "1"] + common).run()
-    CLI(
-        [
-            "train",
-            "--max-steps", str(steps),
-            "--steps-per-checkpoint", str(steps),
-            "--learning-rate", "3e-4",
-        ]
-        + common
-    ).run()
+    common = preprocess_and_train(root, "devbeam", steps)
 
     results = {}
     for name, extra in (
