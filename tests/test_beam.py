@@ -464,6 +464,21 @@ def test_record_decode_path_single_batch_no_labels(lm_dir):
     loss_b, dec_b, len_b = beam.eval_step(params, batch)
     assert dec_b.shape[0] == 1 and int(len_b[0]) >= 0
 
+    # the on-device beam must handle the same label-less row and decode
+    # identically to the host beam here
+    dev = BeamSearchDecoder(
+        model,
+        LanguageModelConfig(
+            language_model=str(lm_dir), beam_width=8, device_beam=True
+        ),
+    )
+    loss_d, dec_d, len_d = dev.eval_step(params, batch)
+    assert float(loss_d) == pytest.approx(float(loss_b), rel=1e-5)
+    assert int(len_d[0]) == int(len_b[0])
+    np.testing.assert_array_equal(
+        dec_d[0, : int(len_d[0])], dec_b[0, : int(len_b[0])]
+    )
+
 
 class TestShallowFusion:
     def test_valid_word_bonus_steers_decoding(self, lm_dir):
