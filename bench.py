@@ -219,12 +219,13 @@ ngram 2=2
 """
 
 
-def bench_beam_lm_eval(model, params, device_beam=False):
+def bench_beam_lm_eval(model, params, device_beam=False, rescore_n=0):
     """Pipelined beam+LM evaluate on blank-dominated (trained-like) logits.
 
     ``device_beam`` switches to the on-TPU beam (`--device-beam`): the
     batch-parallel search replaces the host C++ beam, which on a small host
-    (1 core here) is the throughput limiter of this config."""
+    (1 core here) is the throughput limiter of this config. ``rescore_n``
+    adds the two-stage mode (acoustic device n-best + host LM rescore)."""
     import os
     import tempfile
 
@@ -270,6 +271,7 @@ def bench_beam_lm_eval(model, params, device_beam=False):
                 language_model=lm_dir,
                 beam_width=100,
                 device_beam=device_beam,
+                rescore_n=rescore_n,
             ),
         )
 
@@ -302,7 +304,11 @@ def bench_beam_lm_eval(model, params, device_beam=False):
             "frames_kept_after_collapse": round(kept_frac, 3),
             "host_cores": os.cpu_count(),
             "shape": f"B{BATCH}xT{T}",
-            "where": "device" if device_beam else "host",
+            "where": (
+                f"device+rescore{rescore_n}"
+                if rescore_n
+                else ("device" if device_beam else "host")
+            ),
         }
 
 
@@ -402,6 +408,12 @@ def main():
         (
             "beam_lm_eval_device",
             lambda: bench_beam_lm_eval(model, params, device_beam=True),
+        ),
+        (
+            "beam_lm_eval_rescore",
+            lambda: bench_beam_lm_eval(
+                model, params, device_beam=True, rescore_n=8
+            ),
         ),
         ("from_audio_eval", lambda: bench_from_audio_eval(model, params)),
         ("streaming", lambda: bench_streaming(model, params)),

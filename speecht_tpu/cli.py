@@ -130,6 +130,13 @@ class CLI:
             "(batch-parallel) instead of the host C++ beam; requires the "
             "ARPA source in the language-model directory.",
         )
+        parser.add_argument(
+            "--rescore", dest="rescore_n", type=int, default=0,
+            help="With --device-beam: pure-acoustic device beam keeps N "
+            "hypotheses, the host LM rescores and picks the best — faster "
+            "than fused search and compatible with KenLM binary LMs. "
+            "0 = fused search (default).",
+        )
 
     def _add_training_parser(self):
         p = self.subparsers.add_parser(
@@ -278,6 +285,7 @@ class CLI:
                         beam_width=parsed.beam_width,
                         blank_threshold=parsed.blank_threshold,
                         device_beam=getattr(parsed, "device_beam", False),
+                        rescore_n=getattr(parsed, "rescore_n", 0),
                     )
             self._parsed = parsed
         return self._parsed

@@ -74,6 +74,11 @@ class LanguageModelConfig:
     # run the beam search itself on the TPU (ops/beam_device.py) instead of
     # the host C++ beam; needs the ARPA source in the LM directory
     device_beam: bool = False
+    # with --device-beam: two-stage decode — pure-acoustic on-device beam
+    # keeping this many hypotheses, then host LM rescoring picks the best.
+    # Faster than fused search (no per-frame LM table probes) and works
+    # with KenLM binary LMs (the host scorer rescores). 0 = fused search.
+    rescore_n: int = 0
 
 
 @dataclass

@@ -94,9 +94,24 @@ class BeamSearchDecoder:
         if device_beam is None:
             device_beam = bool(getattr(lm_config, "device_beam", False))
         self.device_beam = device_beam
+        self.rescore_n = int(getattr(lm_config, "rescore_n", 0) or 0)
+        if self.rescore_n and not device_beam:
+            raise ValueError("--rescore requires --device-beam")
         self.lm = None
         self._beam_fn = None
-        if device_beam:
+        if device_beam and self.rescore_n:
+            # two-stage decode: pure-acoustic device beam keeps the n-best,
+            # the host LM rescores (works with ARPA AND KenLM binaries —
+            # no device tables needed)
+            from speecht_tpu.ops import beam_device
+
+            if lm_config.language_model:
+                arpa, vocab = find_lm_files(lm_config.language_model)
+                self.lm = native.NGramLM(arpa, vocab)
+            self._beam_fn = beam_device.make_device_beam_search(
+                lm_config.beam_width, lm=None, n_best=self.rescore_n
+            )
+        elif device_beam:
             from speecht_tpu.ops import beam_device
 
             device_lm = None
@@ -108,7 +123,8 @@ class BeamSearchDecoder:
                         f"{lm_config.language_model}; KenLM binaries feed "
                         "only the host beam (their n-gram keys are one-way "
                         "hashes). KenLM releases ship the ARPA alongside "
-                        "the binary."
+                        "the binary, or use --rescore N (host-rescored "
+                        "n-best), which reads binaries."
                     )
                 vocab = os.path.join(
                     lm_config.language_model, "vocabulary"
@@ -124,7 +140,8 @@ class BeamSearchDecoder:
             self.lm = native.NGramLM(arpa, vocab)
         self._loss_fn = tstep.make_loss_fn(model)
         self._pool = None
-        if not device_beam:
+        if not device_beam or self.rescore_n:
+            # host beam / host rescoring parallelize per utterance
             self._pool = concurrent.futures.ThreadPoolExecutor(
                 max_workers=num_threads or min(32, (os.cpu_count() or 8))
             )
@@ -206,6 +223,19 @@ class BeamSearchDecoder:
             # and short batches stop paying for the full logit width
             t_max = int(np.max(lengths)) if B else 0
             t_bucket = min(T, max(32, -(-t_max // 32) * 32))
+            if self.rescore_n:
+                # stage 1: pure-acoustic n-best (all fusion weights zero)
+                ids, lens, scores = self._beam_fn(
+                    logp[:, :t_bucket], lengths, 0.0, 0.0, 0.0
+                )
+                return self._rescore(
+                    np.asarray(ids),
+                    np.asarray(lens),
+                    np.asarray(scores),
+                    lm_w,
+                    wc_w,
+                    vwc_w,
+                )
             ids, out_lengths = self._beam_fn(
                 logp[:, :t_bucket], lengths, lm_w, wc_w, vwc_w
             )
@@ -230,6 +260,50 @@ class BeamSearchDecoder:
             out[i, : len(ids)] = ids
             out_lengths[i] = len(ids)
         return out, out_lengths
+
+    def _rescore(self, ids, lens, scores, lm_w, wc_w, vwc_w):
+        """Stage 2 of ``--rescore``: add the fusion bonus to each n-best
+        hypothesis on the host and keep the best per row.
+
+        The bonus mirrors the fused beam exactly — per completed word
+        (every word is "completed" in a final hypothesis, incl. the last):
+        lm_weight * ln10 * log10 P(w | <s> + last-4-word window) +
+        word_count_weight + valid_word_count_weight * [in vocabulary].
+        """
+        B, N, T = ids.shape
+        out = np.full((B, T), vocabulary.PAD_ID, np.int32)
+        out_lens = np.zeros(B, np.int32)
+        ln10 = float(np.log(10.0))
+
+        def bonus(hyp_ids, hyp_len):
+            s = vocabulary.ids_to_sentence(hyp_ids[:hyp_len])
+            words = [w for w in s.split(" ") if w]
+            total, hist = 0.0, []
+            for w in words:
+                total += wc_w
+                if self.lm is not None:
+                    if self.lm.has_word(w):
+                        total += vwc_w
+                    total += lm_w * ln10 * self.lm.score_word(
+                        " ".join(hist[-4:]), w
+                    )
+                hist.append(w)
+            return total
+
+        def one(b):
+            totals = [
+                scores[b, n] + bonus(ids[b, n], int(lens[b, n]))
+                if scores[b, n] > -1e29
+                else -np.inf
+                for n in range(N)
+            ]
+            return b, int(np.argmax(totals))
+
+        for b, best in self._pool.map(one, range(B)):
+            n = int(lens[b, best])
+            out[b, :n] = ids[b, best, :n]
+            out_lens[b] = n
+        return out, out_lens
 
     def eval_step(self, params, batch, **weight_overrides):
         """(loss, decoded_ids, decoded_lengths) — drop-in for make_eval_step."""

@@ -480,6 +480,97 @@ def test_record_decode_path_single_batch_no_labels(lm_dir):
     )
 
 
+def _tiny_decoder(lm_dir, **lm_kwargs):
+    """A BeamSearchDecoder over a toy model (decode_emissions only)."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from speecht_tpu.config import LanguageModelConfig
+    from speecht_tpu.models.wav2letter import Wav2Letter, Wav2LetterConfig
+    from speecht_tpu.ops.beam import BeamSearchDecoder
+
+    cfg = Wav2LetterConfig(
+        input_size=8, base_channels=16, wide_channels=32,
+        num_body_layers=2, compute_dtype="float32",
+    )
+    model = Wav2Letter(cfg)
+    model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 8)))
+    return BeamSearchDecoder(
+        model,
+        LanguageModelConfig(language_model=str(lm_dir), **lm_kwargs),
+    )
+
+
+class TestRescore:
+    """--device-beam --rescore N: pure-acoustic device n-best + host LM
+    rescoring (an extension mode — no per-frame LM probes, and it reads
+    KenLM binaries because the HOST scorer rescores)."""
+
+    def test_rescore_requires_device_beam(self, lm_dir):
+        with pytest.raises(ValueError, match="rescore"):
+            _tiny_decoder(lm_dir, beam_width=8, rescore_n=4)
+
+    def test_zero_weights_pick_acoustic_best(self, lm_dir):
+        beam = _tiny_decoder(
+            lm_dir, beam_width=8, device_beam=True, rescore_n=4
+        )
+        logp = emissions_for_text("cbt ", smear={1: (0, 2.9)})
+        ids, lens = beam.decode_emissions(
+            logp[None],
+            np.array([len(logp)], np.int32),
+            lm_weight=0.0,
+            word_count_weight=0.0,
+            valid_word_count_weight=0.0,
+        )
+        ref = native.ctc_beam_search(logp, beam_width=8, prune_top_k=8)
+        assert list(ids[0, : lens[0]]) == [int(x) for x in ref]
+
+    def test_rescoring_steers_to_valid_word(self, lm_dir):
+        beam = _tiny_decoder(
+            lm_dir, beam_width=8, device_beam=True, rescore_n=8
+        )
+        # acoustics slightly prefer "cbt " over "cat "; only "cat" is in
+        # the vocabulary, so the valid-word bonus must flip the ranking
+        logp = emissions_for_text("cbt ", smear={1: (0, 2.9)})
+        ids, lens = beam.decode_emissions(
+            logp[None],
+            np.array([len(logp)], np.int32),
+            lm_weight=0.0,
+            word_count_weight=0.0,
+            valid_word_count_weight=5.0,
+        )
+        assert vocabulary.ids_to_sentence(
+            ids[0, : lens[0]]
+        ).startswith("cat")
+
+    def test_rescore_reads_kenlm_binary(self, lm_dir, tmp_path):
+        # a binary-ONLY LM directory: fused --device-beam refuses it, but
+        # --rescore decodes (host scorer reads the binary)
+        bundle = tmp_path / "binlm"
+        bundle.mkdir()
+        native.lm_write_binary(
+            str(lm_dir / "model.arpa"), str(bundle / "kenlm-model.binary")
+        )
+        (bundle / "vocabulary").write_text(
+            (lm_dir / "vocabulary").read_text()
+        )
+        beam = _tiny_decoder(
+            bundle, beam_width=8, device_beam=True, rescore_n=8
+        )
+        logp = emissions_for_text("cbt ", smear={1: (0, 2.9)})
+        ids, lens = beam.decode_emissions(
+            logp[None],
+            np.array([len(logp)], np.int32),
+            lm_weight=0.0,
+            word_count_weight=0.0,
+            valid_word_count_weight=5.0,
+        )
+        assert vocabulary.ids_to_sentence(
+            ids[0, : lens[0]]
+        ).startswith("cat")
+
+
 class TestShallowFusion:
     def test_valid_word_bonus_steers_decoding(self, lm_dir):
         lm = native.NGramLM(

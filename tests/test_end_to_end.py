@@ -183,6 +183,20 @@ def test_evaluate_with_device_beam(workdir, capsys):
     assert stats_dev.letter_error_rate == stats_host.letter_error_rate
 
 
+def test_evaluate_device_beam_rescore(workdir, capsys):
+    """--device-beam --rescore N: acoustic n-best on device, host LM
+    rescoring; must run through the CLI and count its decodings."""
+    lm_dir = _write_lm(workdir)
+    stats = run_cli(
+        workdir,
+        "evaluate", "--test", "--step-count", "1", "--no-save",
+        "--language-model", str(lm_dir), "--beam-width", "8",
+        "--device-beam", "--rescore", "4",
+    )
+    assert stats.decodings_counter == 1
+    capsys.readouterr()
+
+
 def test_device_beam_requires_arpa(workdir):
     """A binary-only LM directory fails fast with a pointer to the ARPA."""
     from speecht_tpu import native
