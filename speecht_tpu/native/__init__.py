@@ -130,6 +130,14 @@ def _load():
     ]
     lib.st_lm_has_word.restype = ctypes.c_int
     lib.st_lm_has_word.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.st_lm_score_sentence.restype = None
+    lib.st_lm_score_sentence.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
     lib.st_lm_write_binary.restype = ctypes.c_int
     lib.st_lm_write_binary.argtypes = [
         ctypes.c_char_p,
@@ -243,6 +251,22 @@ class NGramLM:
 
     def has_word(self, word: str) -> bool:
         return bool(self._lib.st_lm_has_word(self._handle, word.encode()))
+
+    def score_sentence(self, text: str) -> tuple[float, int, int]:
+        """(sum log10 P per word, #words, #valid-words) for a sentence,
+        with the beam's history semantics (<s> + last-4-word window) —
+        one native call per hypothesis for n-best rescoring."""
+        lm_sum = ctypes.c_float()
+        n_words = ctypes.c_int32()
+        n_valid = ctypes.c_int32()
+        self._lib.st_lm_score_sentence(
+            self._handle,
+            text.encode(),
+            ctypes.byref(lm_sum),
+            ctypes.byref(n_words),
+            ctypes.byref(n_valid),
+        )
+        return float(lm_sum.value), int(n_words.value), int(n_valid.value)
 
     def __del__(self):
         handle = getattr(self, "_handle", None)

@@ -449,6 +449,41 @@ int st_lm_has_word(void* lm_ptr, const char* word) {
   return ((LanguageModel*)lm_ptr)->trie_has_word(word) ? 1 : 0;
 }
 
+// Scores a whole space-separated sentence with the beam's history
+// semantics (<s> pinned + last-4-word ring per completed word — matching
+// the in-beam fusion exactly, incl. the trailing word). One call per
+// hypothesis replaces a per-word ctypes round trip in n-best rescoring.
+// Outputs: summed log10 LM prob, word count, valid-word count.
+void st_lm_score_sentence(void* lm_ptr, const char* text, float* lm_sum,
+                          int32_t* n_words, int32_t* n_valid) {
+  auto* lm = (LanguageModel*)lm_ptr;
+  *lm_sum = 0.0f;
+  *n_words = 0;
+  *n_valid = 0;
+  uint32_t ring[4];
+  int ring_n = 0;
+  std::istringstream ss(text);
+  std::string w;
+  while (ss >> w) {
+    ++*n_words;
+    if (lm->trie_has_word(w)) ++*n_valid;
+    if (lm->order > 0) {
+      uint32_t hist[8];
+      int hn = 0;
+      if (lm->bos_id != UINT32_MAX) hist[hn++] = lm->bos_id;
+      for (int i = 0; i < ring_n; ++i) hist[hn++] = ring[i];
+      uint32_t wid = lm->word_id(w);
+      *lm_sum += lm->score(hist, hn, wid);
+      if (ring_n < 4) {
+        ring[ring_n++] = wid;
+      } else {
+        for (int i = 0; i < 3; ++i) ring[i] = ring[i + 1];
+        ring[3] = wid;
+      }
+    }
+  }
+}
+
 // CTC prefix beam search over one utterance.
 //   log_probs: [T, C] natural-log softmax emissions (C = 29, blank last)
 //   lm: optional LanguageModel* (may be null)

@@ -277,18 +277,16 @@ class BeamSearchDecoder:
 
         def bonus(hyp_ids, hyp_len):
             s = vocabulary.ids_to_sentence(hyp_ids[:hyp_len])
-            words = [w for w in s.split(" ") if w]
-            total, hist = 0.0, []
-            for w in words:
-                total += wc_w
-                if self.lm is not None:
-                    if self.lm.has_word(w):
-                        total += vwc_w
-                    total += lm_w * ln10 * self.lm.score_word(
-                        " ".join(hist[-4:]), w
-                    )
-                hist.append(w)
-            return total
+            if self.lm is not None:
+                # one native call scores the whole hypothesis with the
+                # beam's history semantics (st_lm_score_sentence)
+                lm_sum, n_words, n_valid = self.lm.score_sentence(s)
+                return (
+                    lm_w * ln10 * lm_sum
+                    + wc_w * n_words
+                    + vwc_w * n_valid
+                )
+            return wc_w * len([w for w in s.split(" ") if w])
 
         def one(b):
             totals = [

@@ -133,6 +133,29 @@ class TestNGramLM:
         assert not lm.has_word("cats")
         assert not lm.has_word("xyz")
 
+    def test_score_sentence_matches_per_word_walk(self, lm_dir):
+        """st_lm_score_sentence == the per-word score_word walk with the
+        beam's history window (<s> + last 4 words)."""
+        lm = native.NGramLM(
+            str(lm_dir / "model.arpa"), str(lm_dir / "vocabulary")
+        )
+        text = "the cat sat the dog the cat xyz cat"
+        lm_sum, n_words, n_valid = lm.score_sentence(text)
+        words = text.split()
+        want_sum, hist = 0.0, []
+        want_valid = 0
+        for w in words:
+            want_sum += lm.score_word(" ".join(hist[-4:]), w)
+            want_valid += lm.has_word(w)
+            hist.append(w)
+        assert n_words == len(words)
+        assert n_valid == want_valid
+        assert lm_sum == pytest.approx(want_sum, abs=1e-4)
+
+    def test_score_sentence_empty(self, lm_dir):
+        lm = native.NGramLM(str(lm_dir / "model.arpa"))
+        assert lm.score_sentence("") == (0.0, 0, 0)
+
 
 def emissions_for_text(text, confidence=3.0, smear=None):
     """Emissions favoring `text`, with optional per-frame alternates."""
