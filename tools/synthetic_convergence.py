@@ -144,6 +144,11 @@ def main(n_train: int = 400, steps: int = 600):
     t0 = time.perf_counter()
     dev_stats = CLI(lm_args + ["--device-beam"] + common).run()
     dev_wall = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    rs_stats = CLI(
+        lm_args + ["--device-beam", "--rescore", "8"] + common
+    ).run()
+    rs_wall = time.perf_counter() - t0
 
     print(f"\nheld-out greedy  LER: {stats.global_letter_error_rate:.3f} "
           f"WER: {stats.global_word_error_rate:.3f}")
@@ -153,6 +158,9 @@ def main(n_train: int = 400, steps: int = 600):
     print(f"held-out beam+LM LER: {dev_stats.global_letter_error_rate:.3f} "
           f"WER: {dev_stats.global_word_error_rate:.3f} "
           f"(device beam, {dev_wall:.1f}s)")
+    print(f"held-out rescore8 LER: {rs_stats.global_letter_error_rate:.3f} "
+          f"WER: {rs_stats.global_word_error_rate:.3f} "
+          f"(device n-best + host rescore, {rs_wall:.1f}s)")
     ok = stats.global_letter_error_rate < 0.05
     lm_ok = lm_stats.global_word_error_rate <= stats.global_word_error_rate
     dev_ok = (
@@ -160,11 +168,15 @@ def main(n_train: int = 400, steps: int = 600):
         and dev_stats.global_letter_error_rate
         == lm_stats.global_letter_error_rate
     )
+    rs_ok = (
+        rs_stats.global_word_error_rate <= stats.global_word_error_rate
+    )
     print("SYNTHETIC CONVERGENCE:", "PASS" if ok else "FAIL")
     print("LM FUSION IMPROVES/HOLDS WER:", "PASS" if lm_ok else "FAIL")
     print("DEVICE BEAM == HOST BEAM:", "PASS" if dev_ok else "FAIL")
+    print("RESCORE IMPROVES/HOLDS WER:", "PASS" if rs_ok else "FAIL")
     shutil.rmtree(root, ignore_errors=True)
-    return 0 if (ok and lm_ok and dev_ok) else 1
+    return 0 if (ok and lm_ok and dev_ok and rs_ok) else 1
 
 
 if __name__ == "__main__":
