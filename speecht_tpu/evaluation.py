@@ -8,10 +8,12 @@ expected/decoded strings with LED/LER/WED/WER, then global statistics; a
 summary is written for the first step when saving is enabled
 (evaluation.py:126-137).
 
-TPU-native: decode happens on device (greedy argmax-collapse, or the beam
-lattice + host LM when ``--language-model`` is given); the device returns
-dense padded id rows instead of SparseTensors, so "extract decoded ids" is a
-row slice (the reference walks sparse indices, evaluation.py:160-171).
+TPU-native: decode happens on device (greedy argmax-collapse; with
+``--language-model`` the beam lattice + host LM, the fully on-device
+``--device-beam``, or the two-stage ``--rescore`` mode — ops/beam.py); the
+device returns dense padded id rows instead of SparseTensors, so "extract
+decoded ids" is a row slice (the reference walks sparse indices,
+evaluation.py:160-171).
 """
 
 from __future__ import annotations

@@ -1,16 +1,21 @@
-"""Beam-search CTC decoding: device lattice prep + host C++ LM-fused beam.
+"""Beam-search CTC decoding: device lattice prep + three decode backends.
 
 Capability parity with the reference's LM decoding path (reference:
 speecht/speech_model.py:101-111 — forked ctc_beam_search_decoder with
 KenLM directory, the three shallow-fusion weights as runtime placeholders,
-beam_width=100, top_paths=1). The split here is TPU-idiomatic:
+beam_width=100, top_paths=1). The device part is always the same
+(jit: forward -> log-softmax -> blank collapse per arXiv:2210.17017,
+shrinking T 3-5x before decode); what runs the search differs:
 
-  device (jit): forward -> log-softmax -> blank collapse (drop frames whose
-    blank probability exceeds a threshold — arXiv:2210.17017) — shrinking
-    T by typically 3-5x before anything leaves the chip;
-  host (C++):  prefix beam search with ARPA n-gram shallow fusion and the
-    vocabulary trie (speecht_tpu/native/beam_search.cpp), parallel over
-    the batch with a thread pool.
+  default:         host C++ prefix beam with n-gram shallow fusion and the
+                   vocabulary trie (native/beam_search.cpp), threaded over
+                   the batch; device forward of batch N+1 overlaps it.
+  --device-beam:   the same LM-fused search ON the TPU, batch-parallel,
+                   emissions never leave the chip (ops/beam_device.py;
+                   needs the ARPA source — binary n-gram keys are one-way).
+  --rescore N:     with --device-beam: pure-acoustic device beam keeps the
+                   n-best, ONE native call per hypothesis rescoring picks
+                   the winner — reads KenLM binaries, exposes n-best.
 
 The three weights are plain call arguments — never baked into compiled
 code — so `speecht-cli search` can mutate them per evaluation (reference
