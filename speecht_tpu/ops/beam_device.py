@@ -690,14 +690,22 @@ def make_device_beam_search(
             n_alive = (tv > NEG / 2).astype(jnp.int32)
             if H > 0:
                 wid_col = jnp.take(wid, par)[:, None]
-                if pin_bos:  # keep <s> in slot 0, shift the word ring
-                    shifted = jnp.concatenate(
+                plain = jnp.concatenate([Ip[:, 5:], wid_col], axis=-1)
+                if pin_bos:
+                    # Host semantics: <s> is pinned once it reaches slot 0.
+                    # While the ring is filling (hcnt < cap) the plain shift
+                    # slides <s> leftward until it lands in slot 0 at the
+                    # 4th completed word; only THEN does the pinned shift
+                    # (keep slot 0, rotate the word ring) apply. Applying
+                    # the pinned shift from the start would keep padding in
+                    # slot 0 and shift <s> out (round-2 advisor finding).
+                    pinned = jnp.concatenate(
                         [Ip[:, 4:5], Ip[:, 6:], wid_col], axis=-1
                     )
+                    ring_full = (Ip[:, _I_HCNT] == hcnt_cap)[:, None]
+                    shifted = jnp.where(ring_full, pinned, plain)
                 else:
-                    shifted = jnp.concatenate(
-                        [Ip[:, 5:], wid_col], axis=-1
-                    )
+                    shifted = plain
                 n_hist = jnp.where(completes[:, None], shifted, Ip[:, 4:])
             else:  # unigram-only LM: no history to shift
                 n_hist = Ip[:, 4:]

@@ -484,6 +484,59 @@ class TestHighOrderLM:
         assert matches >= 8  # residual f32/f64 pruning ties only
 
 
+    def test_order6_bos_anchored_gram_decides_fifth_word(self):
+        """End-to-end regression for the round-2 history-pinning bug.
+
+        Emissions deterministically spell four words ("aa bb cc dd ")
+        and end on a near-tie between 'e' and 'f' where 'f' has the
+        acoustic edge. Only the <s>-anchored 6-gram '<s> aa bb cc dd e'
+        — probed through the BEAM's own history-update rule after four
+        completed words — can flip the decode to 'e'. A history update
+        that loses <s> (or lets padding into the window) backs off to
+        unigrams for both candidates and decodes 'f'. Asserts equality
+        with the host beam AND the expected sentence, so a shared
+        failure cannot slip through."""
+        words = ["aa", "bb", "cc", "dd"]
+        uni = ["-2.0\t<unk>", "-0.5\t<s>\t-0.1", "-0.6\t</s>"]
+        uni += [f"-0.8\t{w}\t-0.1" for w in words]
+        uni += ["-1.2\te\t-0.1", "-1.0\tf\t-0.1"]
+        arpa = (
+            f"\\data\\\nngram 1={len(uni)}\nngram 6=1\n\n"
+            "\\1-grams:\n" + "\n".join(uni) + "\n\n"
+            "\\6-grams:\n-0.05\t<s> aa bb cc dd e\n\n\\end\\\n"
+        )
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "model.arpa")
+            with open(path, "w") as f:
+                f.write(arpa)
+            host = native.NGramLM(path, None)
+            dev = beam_device.DeviceLM(path, None)
+        assert dev.order == 6 and dev.hist_len == 5
+
+        frames = []
+        prev = -1
+        for c in vocabulary.sentence_to_ids("aa bb cc dd "):
+            if c == prev:
+                frames.append(vocabulary.BLANK_ID)
+            frames.append(c)
+            prev = c
+        T = len(frames) + 1
+        logits = np.full((1, T, vocabulary.NUM_CLASSES), -30.0, np.float32)
+        for t, c in enumerate(frames):
+            logits[0, t, c] = 0.0
+        logits[0, -1, vocabulary.letter_to_id("e")] = 0.0
+        logits[0, -1, vocabulary.letter_to_id("f")] = 0.5  # acoustics: 'f'
+        logp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+
+        width = 8
+        fn = beam_device.make_device_beam_search(width, lm=dev)
+        ids, lens = fn(logp, np.array([T], np.int32), 2.0, 0.0, 0.0)
+        devd = [int(x) for x in np.asarray(ids)[0][: int(lens[0])]]
+        ref = _host_decode(logp[0], width, host, 2.0, 0.0, 0.0)
+        assert devd == ref
+        assert vocabulary.ids_to_sentence(devd) == "aa bb cc dd e"
+
+
 class TestDeviceLMRobustness:
     def test_duplicated_ngram_rows_keep_last_like_host(self):
         """The same n-gram repeated 5+ times must neither hang the table
