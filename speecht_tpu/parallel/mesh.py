@@ -130,6 +130,25 @@ def constrain(x: jax.Array, *spec) -> jax.Array:
     )
 
 
+def replicate(tree, mesh: Mesh | None = None):
+    """Make a host/device pytree a fully-replicated GLOBAL array tree.
+
+    Single-process (or no mesh): identity. Multi-process: jit over a mesh
+    spanning processes only accepts global arrays, but fresh or restored
+    train state is built process-locally (execution.py init_state /
+    train/checkpoint.py restore) — every process holds the same values, so
+    a replicated ``device_put`` assembles the global view without any
+    cross-host transfer.
+    """
+    mesh = mesh or get_mesh()
+    if mesh is None or jax.process_count() <= 1:
+        return tree
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(np.asarray(x), sharding), tree
+    )
+
+
 def shard_batch(batch, mesh: Mesh | None = None):
     """Put a host batch pytree on device, sharded on the data axis (dim 0).
 

@@ -260,3 +260,30 @@ class SummaryWriter:
 
     def close(self):
         self._f.close()
+
+
+class NullSummaryWriter:
+    """No-op writer for non-primary processes in multi-host runs: one event
+    file per run, written by process 0 (same contract as any multi-host
+    trainer; the reference is single-process, speech_model.py:125-126)."""
+
+    def add_scalars(self, step, scalars):
+        pass
+
+    def add_scalar(self, tag, value, step):
+        pass
+
+    def add_histograms(self, step, histograms):
+        pass
+
+    def add_raw_histograms(self, step, stats):
+        pass
+
+    def add_images(self, step, images):
+        pass
+
+    def flush(self):
+        pass
+
+    def close(self):
+        pass

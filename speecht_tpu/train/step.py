@@ -163,6 +163,15 @@ def make_forward_step(model: Wav2Letter) -> Callable:
     return forward
 
 
-def decay_learning_rate(state: TrainState, factor: float) -> TrainState:
-    """Plateau decay: lr <- lr * factor (reference speech_model.py:65-66)."""
+@jax.jit
+def _decay(state: TrainState, factor) -> TrainState:
     return state.replace(learning_rate=state.learning_rate * factor)
+
+
+def decay_learning_rate(state: TrainState, factor: float) -> TrainState:
+    """Plateau decay: lr <- lr * factor (reference speech_model.py:65-66).
+
+    Jitted so it also works on multi-process global state, where eager ops
+    on non-fully-addressable arrays are rejected.
+    """
+    return _decay(state, jnp.float32(factor))

@@ -115,9 +115,24 @@ class Training(DatasetExecutor):
         train_step = tstep.make_train_step_acc(
             self.model, tx, loss_fn=sp_loss_fn
         )
-        writer = SummaryWriter(
-            os.path.join(flags.log_dir, f"{flags.run_name}_{flags.run_type}")
-        )
+        # multi-process: the fresh/restored state is process-local; jit over
+        # a mesh spanning processes needs global arrays. Every process holds
+        # identical values (same init seed / same checkpoint), so this is a
+        # local replicated device_put. Summaries are written by process 0
+        # only (one event file per run, like any multi-host trainer).
+        import jax
+
+        state = pmesh.replicate(state, self.mesh)
+        if jax.process_index() == 0:
+            writer = SummaryWriter(
+                os.path.join(
+                    flags.log_dir, f"{flags.run_name}_{flags.run_type}"
+                )
+            )
+        else:
+            from speecht_tpu.train.metrics_writer import NullSummaryWriter
+
+            writer = NullSummaryWriter()
 
         # optional jax.profiler trace capture over a step interval
         # (--profile-steps start:stop; SURVEY.md §5 tracing subsystem)
@@ -185,7 +200,7 @@ class Training(DatasetExecutor):
         # state.step back from the device (the device copy stays
         # authoritative for checkpointing)
         global_step = int(state.step)
-        acc = tstep.init_metrics_acc()
+        acc = pmesh.replicate(tstep.init_metrics_acc(), self.mesh)
         param_summarizer = tsummaries.make_param_summarizer(
             with_images=verbose
         )
@@ -261,7 +276,9 @@ class Training(DatasetExecutor):
                     # the one host readback per interval: running metrics
                     # (three scalars) + lr, then the device-reduced summaries
                     m = jax.device_get(acc)
-                    acc = tstep.init_metrics_acc()
+                    acc = pmesh.replicate(
+                        tstep.init_metrics_acc(), self.mesh
+                    )
                     n = max(float(m["count"]), 1.0)
                     avg_loss = float(m["loss_sum"]) / n
                     avg_grad_norm = float(m["grad_norm_sum"]) / n

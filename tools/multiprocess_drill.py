@@ -1,0 +1,225 @@
+"""Real 2-process distributed training drill.
+
+Launches TWO OS processes, each with 4 virtual CPU devices
+(``--xla_force_host_platform_device_count=4``), joined through a localhost
+``jax.distributed`` coordinator — exactly the path a multi-host TPU pod run
+takes through the CLI (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+JAX_PROCESS_ID; speecht_tpu/cli.py:346-356, runtime.init_distributed).
+Each process loads its disjoint corpus shard (execution.py shard_kwargs ->
+data/reader.py shard_index/shard_count), builds local batches, and the
+global batch is assembled with ``jax.make_array_from_process_local_data``
+(parallel/mesh.py shard_batch). The reference implementation is
+single-process by design (/root/reference/speecht/speech_input.py:91); this
+drill is live evidence for the rebuild's own multi-host claim (SURVEY §2c).
+
+What it asserts:
+
+1. **dp**: 3 CLI training steps on a (data=8) mesh spanning 2 processes
+   produce the SAME per-step losses as the single-process 8-device run.
+   The synthetic corpus holds exactly global-batch-size utterances in one
+   shape bucket, so every global batch contains the whole corpus and the
+   mean loss is row-permutation-invariant (up to f32 reduction order) —
+   shard assembly bugs (wrong/duplicated rows) change the loss.
+2. **checkpoint/resume**: the 2-process run saves orbax checkpoints (both
+   processes participate); a second 2-process run restores at step 3 and
+   steps 4-6 keep matching the single-process run.
+3. **dp x tp**: 3 steps on a (data=4, model=2) mesh spanning 2 processes
+   match the same baseline.
+
+Run: ``python tools/multiprocess_drill.py`` — prints PASS lines, exit 0.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import socket
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+N_FILES = 16  # == global batch size: every global batch is the full corpus
+N_FRAMES = 80
+INPUT_SIZE = 128
+LABEL_LEN = 10
+
+MODEL_FLAGS = [
+    "--base-channels", "32",
+    "--wide-channels", "64",
+    "--num-body-layers", "2",
+    "--bucket-step", "96",
+    "--compute-dtype", "float32",
+]
+
+WORKER = """\
+import sys
+sys.path.insert(0, {repo!r})
+from speecht_tpu import runtime
+runtime.honor_platform_env()
+from speecht_tpu.cli import main
+main(sys.argv[1:])
+"""
+
+
+def make_corpus(root: str) -> str:
+    """Synthetic npz feature cache: N_FILES distinct equal-length samples."""
+    data = os.path.join(root, "data")
+    cache = os.path.join(data, "preprocessed-power", "train")
+    os.makedirs(cache)
+    rng = np.random.RandomState(0)
+    for i in range(N_FILES):
+        np.savez(
+            os.path.join(cache, f"synth-{i:03d}"),
+            audio_fragments=rng.randn(N_FRAMES, INPUT_SIZE).astype(
+                np.float32
+            ),
+            transcript=rng.randint(0, 28, size=LABEL_LEN).astype(np.int64),
+        )
+    return data
+
+
+def common_flags(root: str, run_name: str) -> list[str]:
+    return [
+        "--data-dir", os.path.join(root, "data"),
+        "--train-dir", os.path.join(root, "train"),
+        "--log-dir", os.path.join(root, "log"),
+        "--run-name", run_name,
+        "--batch-size", str(N_FILES),
+    ] + MODEL_FLAGS
+
+
+def train_args(root: str, run_name: str, extra=()) -> list[str]:
+    return (
+        ["train", "--max-steps", "3", "--steps-per-checkpoint", "1",
+         "--learning-rate", "3e-4"]
+        + common_flags(root, run_name)
+        + list(extra)
+    )
+
+
+def base_env(n_local_devices: int) -> dict:
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={n_local_devices}"
+    )
+    for k in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+              "JAX_PROCESS_ID"):
+        env.pop(k, None)
+    return env
+
+
+def free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def parse_losses(text: str) -> list[float]:
+    return [float(m) for m in re.findall(r"average loss (\S+)", text)]
+
+
+def run_single(worker: str, args: list[str], log: str) -> str:
+    env = base_env(8)
+    with open(log, "w") as f:
+        subprocess.run(
+            [sys.executable, worker] + args,
+            env=env, stdout=f, stderr=subprocess.STDOUT, check=True,
+            timeout=900, cwd=REPO,
+        )
+    with open(log) as f:
+        return f.read()
+
+
+def run_two_process(worker: str, args: list[str], log_prefix: str) -> str:
+    """Launch 2 coordinated processes; returns process-0 output."""
+    port = free_port()
+    procs, files = [], []
+    for pid in (0, 1):
+        env = base_env(4)
+        env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+        env["JAX_NUM_PROCESSES"] = "2"
+        env["JAX_PROCESS_ID"] = str(pid)
+        f = open(f"{log_prefix}.p{pid}.log", "w")
+        files.append(f)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, worker] + args,
+                env=env, stdout=f, stderr=subprocess.STDOUT, cwd=REPO,
+            )
+        )
+    rcs = [p.wait(timeout=900) for p in procs]
+    for f in files:
+        f.close()
+    logs = []
+    for pid in (0, 1):
+        with open(f"{log_prefix}.p{pid}.log") as f:
+            logs.append(f.read())
+    if any(rcs):
+        sys.stderr.write(
+            f"--- process 0 ---\n{logs[0]}\n--- process 1 ---\n{logs[1]}\n"
+        )
+        raise RuntimeError(f"worker exit codes {rcs}")
+    return logs[0]
+
+
+def check_close(name: str, got: list[float], want: list[float], tol: float):
+    assert len(got) == len(want), (name, got, want)
+    for g, w in zip(got, want):
+        # losses print with 2 decimals; tol covers print quantization +
+        # f32 reduction-order differences across mesh layouts
+        assert abs(g - w) <= tol + 1e-3 * abs(w), (name, got, want)
+    print(f"PASS {name}: losses {got} == {want} (tol {tol})")
+
+
+def main() -> None:
+    root = tempfile.mkdtemp(prefix="mp_drill_")
+    make_corpus(root)
+    worker = os.path.join(root, "worker.py")
+    with open(worker, "w") as f:
+        f.write(WORKER.format(repo=REPO))
+
+    print("== single-process baseline (8 devices, dp) ==", flush=True)
+    out = run_single(
+        worker, train_args(root, "base"), os.path.join(root, "base1.log")
+    )
+    base_a = parse_losses(out)
+    out = run_single(
+        worker, train_args(root, "base"), os.path.join(root, "base2.log")
+    )
+    assert "Restored model at step 3" in out, out[-2000:]
+    base_b = parse_losses(out)
+    assert len(base_a) == 3 and len(base_b) == 3, (base_a, base_b)
+    print(f"baseline losses: {base_a} then {base_b}", flush=True)
+
+    print("== 2-process dp run (4+4 devices) ==", flush=True)
+    out = run_two_process(
+        worker, train_args(root, "mp"), os.path.join(root, "mp1")
+    )
+    assert "distributed: process 0 of 2, 8 devices" in out, out[-2000:]
+    check_close("dp 2-process steps 1-3", parse_losses(out), base_a, 0.05)
+
+    print("== 2-process resume from the 2-process checkpoint ==", flush=True)
+    out = run_two_process(
+        worker, train_args(root, "mp"), os.path.join(root, "mp2")
+    )
+    assert "Restored model at step 3" in out, out[-2000:]
+    check_close("dp 2-process steps 4-6", parse_losses(out), base_b, 0.05)
+
+    print("== 2-process dp x tp run (mesh 4x2) ==", flush=True)
+    out = run_two_process(
+        worker,
+        train_args(root, "mptp", extra=["--model-parallel", "2"]),
+        os.path.join(root, "mptp"),
+    )
+    check_close("dpxtp 2-process steps 1-3", parse_losses(out), base_a, 0.05)
+
+    print("PASS multiprocess drill: dp, checkpoint/resume, dp x tp")
+
+
+if __name__ == "__main__":
+    main()
