@@ -350,6 +350,60 @@ def bench_from_audio_eval(model, params):
     }
 
 
+def bench_preprocess_device():
+    """Bulk cache build with the batched TPU DSP (`preprocess --device`).
+
+    The fixture flac (5.2 s of 22 kHz audio) replicated into a corpus;
+    measures end-to-end utterances/sec of decode (host) -> device
+    feature batch -> npz write, vs the serial host DSP path on the same
+    files. North star: the librosa preprocessing chain becomes device
+    batch programs (BASELINE.json)."""
+    import shutil
+    import tempfile
+
+    from speecht_tpu.data.reader import SpeechCorpusReader
+
+    fixture = (
+        "/root/reference/speecht/tests/data/train/1089-134686-0037.flac"
+    )
+    trans = (
+        "/root/reference/speecht/tests/data/train/1089-134686.trans.txt"
+    )
+    if not os.path.exists(fixture):
+        return {"error": "fixture unavailable"}
+    n_files = 8 if _SMOKE else 64
+    with tempfile.TemporaryDirectory() as root:
+        split = os.path.join(root, "bulk")
+        os.makedirs(split)
+        with open(trans) as f:
+            line = f.read().splitlines()[0].split(" ", 1)[1]
+        with open(os.path.join(split, "bulk.trans.txt"), "w") as f:
+            for i in range(n_files):
+                f.write(f"utt-{i:04d} {line}\n")
+        for i in range(n_files):
+            shutil.copy(fixture, os.path.join(split, f"utt-{i:04d}.flac"))
+        reader = SpeechCorpusReader(root)
+
+        start = time.perf_counter()
+        n = reader.store_samples_device("bulk", "power")
+        device_s = time.perf_counter() - start
+        shutil.rmtree(os.path.join(root, "preprocessed-power"))
+
+        start = time.perf_counter()
+        from speecht_tpu.data import features as F
+
+        reader.store_samples("bulk", F.FEATURE_FUNCTIONS["power"],
+                             num_workers=1)
+        host_s = time.perf_counter() - start
+        return {
+            "utt_per_sec_device": round(n / device_s, 2),
+            "utt_per_sec_host_1core": round(n / host_s, 2),
+            "speedup": round(host_s / device_s, 2),
+            "n_files": n_files,
+            "audio_seconds_per_utt": 5.2,
+        }
+
+
 def bench_streaming(model, params):
     """Per-chunk latency of the incremental recognizer (256 ms chunks)."""
     from speecht_tpu.ops.streaming import StreamingRecognizer
@@ -416,6 +470,7 @@ def main():
             ),
         ),
         ("from_audio_eval", lambda: bench_from_audio_eval(model, params)),
+        ("preprocess_device", bench_preprocess_device),
         ("streaming", lambda: bench_streaming(model, params)),
     ):
         try:

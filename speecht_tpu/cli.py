@@ -127,8 +127,20 @@ class CLI:
         parser.add_argument(
             "--device-beam", dest="device_beam", action="store_true",
             help="Run the LM-fused beam search on the TPU itself "
-            "(batch-parallel) instead of the host C++ beam; requires the "
-            "ARPA source in the language-model directory.",
+            "(batch-parallel) instead of the host C++ beam; the "
+            "language-model directory may hold the ARPA source or a KenLM "
+            "PROBING binary. Note: with an LM and pruning, near-tied "
+            "hypotheses can resolve differently than the host beam (f32 "
+            "device vs f64 host tie-breaking); divergences are "
+            "score-bounded (see ops/beam_device.py). First use compiles "
+            "one program per batch shape bucket (minutes on a cold cache; "
+            "tools/warm_beam_cache.py precompiles).",
+        )
+        parser.add_argument(
+            "--device-lm-hbm-gb", dest="device_lm_hbm_gb", type=float,
+            default=8.0,
+            help="With --device-beam: HBM budget for the LM tables; a "
+            "larger LM falls back to the host beam with a message.",
         )
         parser.add_argument(
             "--rescore", dest="rescore_n", type=int, default=0,
@@ -254,6 +266,12 @@ class CLI:
         p.add_argument("--test-only", dest="test_only", action="store_true")
         p.add_argument("--dev-only", dest="dev_only", action="store_true")
         p.add_argument("--num-workers", dest="num_workers", type=int, default=0)
+        p.add_argument(
+            "--device", dest="device_preprocess", action="store_true",
+            help="Run the DSP (framing/FFT/mel/normalize, MFCC deltas) as "
+            "batched TPU programs instead of the per-file host DSP; the "
+            "npz cache layout is identical.",
+        )
 
     def _add_export_parser(self):
         p = self.subparsers.add_parser(
@@ -285,6 +303,9 @@ class CLI:
                         beam_width=parsed.beam_width,
                         blank_threshold=parsed.blank_threshold,
                         device_beam=getattr(parsed, "device_beam", False),
+                        device_lm_hbm_gb=getattr(
+                            parsed, "device_lm_hbm_gb", 8.0
+                        ),
                         rescore_n=getattr(parsed, "rescore_n", 0),
                     )
             self._parsed = parsed

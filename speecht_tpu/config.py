@@ -72,8 +72,12 @@ class LanguageModelConfig:
     # shallow-fusion weights, parameter_search.py:55-62); tune manually.
     blank_threshold: float = 0.999
     # run the beam search itself on the TPU (ops/beam_device.py) instead of
-    # the host C++ beam; needs the ARPA source in the LM directory
+    # the host C++ beam; the LM directory may hold the ARPA source or a
+    # KenLM PROBING binary
     device_beam: bool = False
+    # HBM budget for the device LM tables; exceeding it falls back to the
+    # host beam with a message (the model + beam state must still fit)
+    device_lm_hbm_gb: float = 8.0
     # with --device-beam: two-stage decode — pure-acoustic on-device beam
     # keeping this many hypotheses, then host LM rescoring picks the best.
     # Faster than fused search (no per-frame LM table probes) and works

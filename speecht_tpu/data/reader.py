@@ -175,6 +175,81 @@ class SpeechCorpusReader:
             )
         return len(tasks)
 
+    def store_samples_device(
+        self,
+        directory: str,
+        feature_type: str,
+        batch_size: int = 16,
+        sample_bucket: int = 160 * 512,
+        sample_rate: int = 22050,
+    ) -> int:
+        """Device-batched preprocess: decode on host, featurize on TPU.
+
+        The TPU-native counterpart of :meth:`store_samples` (``preprocess
+        --device``): raw audio is decoded/resampled by the native FLAC
+        reader (inherently host I/O), grouped into padded length buckets,
+        and the whole DSP chain — framing, FFT, mel filterbank, log,
+        per-utterance ref-max dB, normalization (and MFCC+deltas for
+        ``mfcc``) — runs as one jitted batch program per bucket
+        (data/features_tpu.py, host-parity-tested against
+        data/features.py). The npz cache layout is identical to the host
+        path, so caches mix freely. On a small host the serial librosa-
+        definition DSP is the preprocess bottleneck (reference
+        preprocessing.py:229-241 throws a process Pool at it); the chip
+        does the math instead.
+
+        Returns the number of stored utterances.
+        """
+        from speecht_tpu.data import features_tpu as FT
+
+        if feature_type == "power":
+            feature_fn = FT.batch_power_spectrogram
+        elif feature_type == "mfcc":
+            feature_fn = FT.batch_mfccs
+        else:
+            raise ValueError("Feature type must be mfcc or power.")
+        out_directory = self._get_directory(feature_type, directory)
+        os.makedirs(out_directory, exist_ok=True)
+        audio_files = list(
+            iglob_recursive(
+                os.path.join(self._data_directory, directory), "*.flac"
+            )
+        )
+        transcript_dict = self._transcript_dict
+
+        def flush(n_buckets: int, items: list) -> None:
+            S = n_buckets * sample_bucket
+            audio = np.zeros((batch_size, S), np.float32)
+            counts = np.zeros(batch_size, np.int32)
+            for i, (_aid, a) in enumerate(items):
+                audio[i, : len(a)] = a
+                counts[i] = len(a)
+            feats, frame_lengths = feature_fn(audio, counts)
+            feats = np.asarray(feats, np.float32)
+            frame_lengths = np.asarray(frame_lengths)
+            for i, (aid, _a) in enumerate(items):
+                np.savez(
+                    os.path.join(out_directory, aid),
+                    audio_fragments=feats[i, : frame_lengths[i]],
+                    transcript=np.asarray(
+                        transcript_dict[aid], dtype=np.int64
+                    ),
+                )
+
+        pending: dict[int, list] = {}
+        for audio_file in audio_files:
+            from speecht_tpu import native
+
+            audio, _sr = native.load_audio(audio_file, sr=sample_rate)
+            aid = os.path.splitext(os.path.basename(audio_file))[0]
+            n_buckets = max(1, -(-len(audio) // sample_bucket))
+            pending.setdefault(n_buckets, []).append((aid, audio))
+            if len(pending[n_buckets]) == batch_size:
+                flush(n_buckets, pending.pop(n_buckets))
+        for n_buckets, items in sorted(pending.items()):
+            flush(n_buckets, items)
+        return len(audio_files)
+
     def load_raw_samples(
         self,
         directory: str,

@@ -147,6 +147,43 @@ def _load():
     ]
     lib.st_lm_is_binary.restype = ctypes.c_int
     lib.st_lm_is_binary.argtypes = [ctypes.c_char_p]
+    lib.st_kenlm_dump_open.restype = ctypes.c_void_p
+    lib.st_kenlm_dump_open.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+        ctypes.c_int32,
+    ]
+    lib.st_kenlm_dump_close.restype = None
+    lib.st_kenlm_dump_close.argtypes = [ctypes.c_void_p]
+    lib.st_kenlm_dump_order.restype = ctypes.c_int32
+    lib.st_kenlm_dump_order.argtypes = [ctypes.c_void_p]
+    lib.st_kenlm_dump_unigram_slots.restype = ctypes.c_int64
+    lib.st_kenlm_dump_unigram_slots.argtypes = [ctypes.c_void_p]
+    lib.st_kenlm_dump_unigrams.restype = ctypes.c_int32
+    lib.st_kenlm_dump_unigrams.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.st_kenlm_dump_table_count.restype = ctypes.c_int64
+    lib.st_kenlm_dump_table_count.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.st_kenlm_dump_table.restype = ctypes.c_int32
+    lib.st_kenlm_dump_table.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.st_kenlm_dump_vocab_bytes.restype = ctypes.c_int64
+    lib.st_kenlm_dump_vocab_bytes.argtypes = [ctypes.c_void_p]
+    lib.st_kenlm_dump_vocab.restype = ctypes.c_int32
+    lib.st_kenlm_dump_vocab.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.c_int64,
+    ]
     lib.st_ctc_beam_search.restype = ctypes.c_int
     lib.st_ctc_beam_search.argtypes = [
         ctypes.POINTER(ctypes.c_float),  # log_probs
@@ -159,6 +196,25 @@ def _load():
         ctypes.c_float,  # word_count_weight
         ctypes.c_float,  # valid_word_count_weight
         ctypes.c_int32,  # prune_top_k
+        ctypes.POINTER(ctypes.c_int32),  # out_ids
+        ctypes.c_int32,  # out_capacity
+    ]
+
+    lib.st_ctc_beam_search_cont.restype = ctypes.c_int
+    lib.st_ctc_beam_search_cont.argtypes = [
+        ctypes.POINTER(ctypes.c_float),  # log_probs
+        ctypes.c_int64,  # T
+        ctypes.c_int32,  # C
+        ctypes.c_int32,  # blank_id
+        ctypes.c_int32,  # beam_width
+        ctypes.c_void_p,  # lm
+        ctypes.c_float,  # lm_weight
+        ctypes.c_float,  # word_count_weight
+        ctypes.c_float,  # valid_word_count_weight
+        ctypes.c_int32,  # prune_top_k
+        ctypes.c_char_p,  # context_text
+        ctypes.c_int32,  # last_char_id
+        ctypes.c_int32,  # ended_in_blank
         ctypes.POINTER(ctypes.c_int32),  # out_ids
         ctypes.c_int32,  # out_capacity
     ]
@@ -206,6 +262,72 @@ def npz_load_sample(path: str):
 def lm_is_binary(path: str) -> bool:
     """True when ``path`` is a KenLM binary ("mmap lm ..." magic)."""
     return bool(_load().st_lm_is_binary(path.encode()))
+
+
+def kenlm_dump(path: str) -> dict:
+    """Dump a KenLM PROBING binary's raw tables for the device beam.
+
+    Returns ``{"order", "words" (list, id order), "uni_prob", "uni_back"
+    (float32 [slots]), "tables" {n: (key_lo u32, key_hi u32, prob f32,
+    backoff f32)} for n in 2..order}``. The n-gram keys are KenLM's chained
+    64-bit hashes of word-id sequences (kenlm_binary.cpp ngram_hash) — the
+    device search recomputes the same hash from its word-id history
+    (ops/beam_device.py `_kenlm_key_hash`), so no sequence recovery is
+    needed to probe them.
+    """
+    lib = _load()
+    err = ctypes.create_string_buffer(512)
+    h = lib.st_kenlm_dump_open(path.encode(), err, len(err))
+    if not h:
+        raise ValueError(
+            f"cannot read KenLM binary {path}: "
+            f"{err.value.decode(errors='replace')}"
+        )
+    try:
+        order = int(lib.st_kenlm_dump_order(h))
+        slots = int(lib.st_kenlm_dump_unigram_slots(h))
+        uni_prob = np.zeros(slots, np.float32)
+        uni_back = np.zeros(slots, np.float32)
+        lib.st_kenlm_dump_unigrams(
+            h,
+            uni_prob.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            uni_back.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        nbytes = int(lib.st_kenlm_dump_vocab_bytes(h))
+        buf = ctypes.create_string_buffer(max(nbytes, 1))
+        if lib.st_kenlm_dump_vocab(h, buf, nbytes) != 0:
+            raise ValueError("vocab dump overflow")
+        words = (
+            buf.raw[:nbytes].decode(errors="replace").split("\0")[:-1]
+            if nbytes
+            else []
+        )
+        tables = {}
+        for n in range(2, order + 1):
+            cnt = int(lib.st_kenlm_dump_table_count(h, n))
+            lo = np.zeros(cnt, np.uint32)
+            hi = np.zeros(cnt, np.uint32)
+            prob = np.zeros(cnt, np.float32)
+            back = np.zeros(cnt, np.float32)
+            if cnt and lib.st_kenlm_dump_table(
+                h,
+                n,
+                lo.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                hi.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                prob.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                back.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ) != 0:
+                raise ValueError(f"table dump failed for order {n}")
+            tables[n] = (lo, hi, prob, back)
+        return {
+            "order": order,
+            "words": words,
+            "uni_prob": uni_prob,
+            "uni_back": uni_back,
+            "tables": tables,
+        }
+    finally:
+        lib.st_kenlm_dump_close(h)
 
 
 def lm_write_binary(arpa_path: str, out_path: str) -> None:
@@ -301,6 +423,52 @@ def ctc_beam_search(
         word_count_weight,
         valid_word_count_weight,
         prune_top_k,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(out),
+    )
+    return out[:n]
+
+
+def ctc_beam_search_cont(
+    log_probs: np.ndarray,
+    context_text: str = "",
+    last_char_id: int = -1,
+    ended_in_blank: bool = True,
+    beam_width: int = 100,
+    lm: "NGramLM | None" = None,
+    lm_weight: float = 0.8,
+    word_count_weight: float = 0.0,
+    valid_word_count_weight: float = 2.3,
+    blank_id: int = 28,
+    prune_top_k: int = 8,
+) -> np.ndarray:
+    """Continuation-mode prefix beam over a TAIL of emissions.
+
+    ``context_text``'s complete words seed the LM history and its trailing
+    partial word prefixes the first word completed here; ``last_char_id``/
+    ``ended_in_blank`` carry the committed greedy path's CTC collapse state
+    across the boundary. Returns only the tail's decoded ids — the caller
+    owns the committed text. Powers LM-fused streaming partials
+    (ops/streaming.py); with no context it equals :func:`ctc_beam_search`.
+    """
+    lib = _load()
+    log_probs = np.ascontiguousarray(log_probs, dtype=np.float32)
+    T, C = log_probs.shape
+    out = np.zeros(max(T, 1), dtype=np.int32)
+    n = lib.st_ctc_beam_search_cont(
+        log_probs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        T,
+        C,
+        blank_id,
+        beam_width,
+        lm._handle if lm is not None else None,
+        lm_weight,
+        word_count_weight,
+        valid_word_count_weight,
+        prune_top_k,
+        context_text.encode(),
+        last_char_id,
+        1 if ended_in_blank else 0,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         len(out),
     )

@@ -336,6 +336,10 @@ struct Node {
 
 struct Arena {
   std::vector<Node> nodes;
+  // continuation mode: trailing partial word of the committed transcript —
+  // prefixes words that COMPLETE inside this search so the LM scores the
+  // full surface form (streaming partial fusion, ops/streaming.py)
+  std::string root_partial;
 
   Arena() {
     nodes.reserve(1 << 14);
@@ -353,6 +357,9 @@ struct Arena {
       id = n.parent;
     }
     std::reverse(w.begin(), w.end());
+    // the walk reached the root without a space: the word began in the
+    // committed text
+    if (id == 0 && !root_partial.empty()) w = root_partial + w;
     return w;
   }
 
@@ -484,22 +491,63 @@ void st_lm_score_sentence(void* lm_ptr, const char* text, float* lm_sum,
   }
 }
 
-// CTC prefix beam search over one utterance.
+// CTC prefix beam search over one utterance (optionally a CONTINUATION of
+// committed context — streaming partial fusion).
 //   log_probs: [T, C] natural-log softmax emissions (C = 29, blank last)
 //   lm: optional LanguageModel* (may be null)
 //   weights: lm_weight (applied to log10 LM scores), word_count_weight,
 //            valid_word_count_weight — runtime-tunable shallow fusion
+//   context_text: committed transcript so far (null/empty for a fresh
+//     utterance): its complete words seed the LM history ring and its
+//     trailing partial word prefixes the first word completed here
+//   last_char_id / ended_in_blank: the committed greedy path's collapse
+//     carry — the raw last emission decides whether the first tail frame
+//     can merge as a repeat (CTC stay) or must start a new character
 //   out_ids: caller buffer of capacity out_capacity; returns decoded length
-int st_ctc_beam_search(
+//     (tail characters only — the caller owns the committed text)
+static int beam_search_impl(
     const float* log_probs, int64_t T, int32_t C, int32_t blank_id,
     int32_t beam_width, void* lm_ptr, float lm_weight,
     float word_count_weight, float valid_word_count_weight,
-    int32_t prune_top_k, int32_t* out_ids, int32_t out_capacity) {
+    int32_t prune_top_k, const char* context_text, int32_t last_char_id,
+    int32_t ended_in_blank, int32_t* out_ids, int32_t out_capacity) {
   auto* lm = (LanguageModel*)lm_ptr;
   Arena arena;
 
+  if (context_text && context_text[0]) {
+    // split the committed text into complete words (LM history ring)
+    // and the trailing partial word (prefixes the first completion here)
+    std::string text(context_text);
+    size_t last_space = text.find_last_of(' ');
+    std::string complete =
+        last_space == std::string::npos ? "" : text.substr(0, last_space);
+    arena.root_partial =
+        last_space == std::string::npos ? text : text.substr(last_space + 1);
+    Node& root = arena.nodes[0];
+    std::istringstream ss(complete);
+    std::string w;
+    while (ss >> w) {
+      if (!lm || lm->order == 0) break;
+      uint32_t wid = lm->word_id(w);
+      if (root.hist_len < 4) {
+        root.hist[root.hist_len++] = wid;
+      } else {
+        for (int i = 0; i < 3; ++i) root.hist[i] = root.hist[i + 1];
+        root.hist[3] = wid;
+      }
+    }
+  }
+  if (last_char_id >= 0) arena.nodes[0].ch = (int8_t)last_char_id;
+
   std::vector<Cand> beam;
-  beam.push_back(Cand{0, 0.0, kNegInf});  // root prefix, log prob 1
+  // fresh utterance: all mass on the blank path (log prob 1). A
+  // continuation whose committed raw path ended mid-character carries its
+  // mass on the non-blank path instead, so an immediate repeat merges.
+  if (ended_in_blank || last_char_id < 0) {
+    beam.push_back(Cand{0, 0.0, kNegInf});
+  } else {
+    beam.push_back(Cand{0, kNegInf, 0.0});
+  }
 
   std::vector<int> cand_chars;
   cand_chars.reserve(C);
@@ -650,6 +698,32 @@ int st_ctc_beam_search(
     id = arena.nodes[id].parent;
   }
   return out_len;
+}
+
+int st_ctc_beam_search(
+    const float* log_probs, int64_t T, int32_t C, int32_t blank_id,
+    int32_t beam_width, void* lm_ptr, float lm_weight,
+    float word_count_weight, float valid_word_count_weight,
+    int32_t prune_top_k, int32_t* out_ids, int32_t out_capacity) {
+  return beam_search_impl(
+      log_probs, T, C, blank_id, beam_width, lm_ptr, lm_weight,
+      word_count_weight, valid_word_count_weight, prune_top_k, nullptr,
+      -1, 1, out_ids, out_capacity);
+}
+
+// Continuation-mode beam search: decodes a TAIL of emissions conditioned
+// on already-committed context (streaming partial fusion — the committed
+// text never changes; only tail characters are returned).
+int st_ctc_beam_search_cont(
+    const float* log_probs, int64_t T, int32_t C, int32_t blank_id,
+    int32_t beam_width, void* lm_ptr, float lm_weight,
+    float word_count_weight, float valid_word_count_weight,
+    int32_t prune_top_k, const char* context_text, int32_t last_char_id,
+    int32_t ended_in_blank, int32_t* out_ids, int32_t out_capacity) {
+  return beam_search_impl(
+      log_probs, T, C, blank_id, beam_width, lm_ptr, lm_weight,
+      word_count_weight, valid_word_count_weight, prune_top_k,
+      context_text, last_char_id, ended_in_blank, out_ids, out_capacity);
 }
 
 }  // extern "C"

@@ -266,6 +266,67 @@ class KenlmBinaryScorer : public NGramScorer {
   std::unordered_map<std::string, uint32_t> vocab_;
   std::vector<std::string> words_;  // id order
   uint32_t bos_id_ = UINT32_MAX;
+
+ public:
+  // ---- raw-table dump (builds the DEVICE beam's HBM tables from a binary;
+  // the n-gram keys are one-way hashes, so word sequences are
+  // unrecoverable — but the device search recomputes the same chained hash
+  // from word-id windows, so (key -> prob/backoff) is all it needs) ----
+  int dump_order() const { return order_; }
+  uint64_t dump_unigram_slots() const { return lay_.unigram_slots; }
+  const std::vector<std::string>& dump_words() const { return words_; }
+
+  void dump_unigrams(float* prob, float* backoff) const {
+    for (uint64_t id = 0; id < lay_.unigram_slots; ++id) {
+      const char* p = data_.data() + lay_.unigram + id * kProbBackoffBytes;
+      prob[id] = read_f32(p);
+      backoff[id] = read_f32(p + 4);
+    }
+  }
+
+  // occupied entries of the order-n hash table (n in 2..order)
+  uint64_t dump_table_count(int n) const {
+    uint64_t base, buckets, entry;
+    if (!table_geometry(n, &base, &buckets, &entry)) return 0;
+    uint64_t cnt = 0;
+    for (uint64_t b = 0; b < buckets; ++b)
+      if (read_u64(data_.data() + base + b * entry) != 0) ++cnt;
+    return cnt;
+  }
+
+  int dump_table(int n, uint32_t* lo, uint32_t* hi, float* prob,
+                 float* backoff) const {
+    uint64_t base, buckets, entry;
+    if (!table_geometry(n, &base, &buckets, &entry)) return 1;
+    uint64_t i = 0;
+    for (uint64_t b = 0; b < buckets; ++b) {
+      const char* p = data_.data() + base + b * entry;
+      uint64_t key = read_u64(p);
+      if (key == 0) continue;
+      lo[i] = (uint32_t)(key & 0xFFFFFFFFull);
+      hi[i] = (uint32_t)(key >> 32);
+      prob[i] = read_f32(p + 8);
+      backoff[i] = (n == order_) ? 0.0f : read_f32(p + 12);
+      ++i;
+    }
+    return 0;
+  }
+
+ private:
+  bool table_geometry(int n, uint64_t* base, uint64_t* buckets,
+                      uint64_t* entry) const {
+    if (n < 2 || n > order_) return false;
+    if (n == order_) {
+      *base = lay_.longest;
+      *buckets = lay_.longest_buckets;
+      *entry = kLongestEntryBytes;
+    } else {
+      *base = lay_.middle[n - 2];
+      *buckets = lay_.middle_buckets[n - 2];
+      *entry = kMiddleEntryBytes;
+    }
+    return true;
+  }
 };
 
 // Parse the trailing nul-terminated string section; true when it yields
@@ -659,5 +720,73 @@ bool is_kenlm_binary(const char* path) {
   return f.gcount() == (std::streamsize)(sizeof(kMagicPrefix) - 1) &&
          std::memcmp(head, kMagicPrefix, sizeof(kMagicPrefix) - 1) == 0;
 }
+
+// ---------------------------------------------------------------------------
+// ctypes surface: raw-table dump for the on-device beam's HBM table build
+// (speecht_tpu/ops/beam_device.py DeviceLM.from_binary)
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void* st_kenlm_dump_open(const char* path, char* err, int32_t errlen) {
+  auto scorer = std::make_unique<KenlmBinaryScorer>();
+  std::string e;
+  if (!scorer->load(path, &e)) {
+    if (err && errlen > 0) {
+      std::snprintf(err, (size_t)errlen, "%s", e.c_str());
+    }
+    return nullptr;
+  }
+  return scorer.release();
+}
+
+void st_kenlm_dump_close(void* h) {
+  delete static_cast<KenlmBinaryScorer*>(h);
+}
+
+int32_t st_kenlm_dump_order(void* h) {
+  return static_cast<KenlmBinaryScorer*>(h)->dump_order();
+}
+
+int64_t st_kenlm_dump_unigram_slots(void* h) {
+  return (int64_t)static_cast<KenlmBinaryScorer*>(h)->dump_unigram_slots();
+}
+
+int32_t st_kenlm_dump_unigrams(void* h, float* prob, float* backoff) {
+  static_cast<KenlmBinaryScorer*>(h)->dump_unigrams(prob, backoff);
+  return 0;
+}
+
+int64_t st_kenlm_dump_table_count(void* h, int32_t n) {
+  return (int64_t)static_cast<KenlmBinaryScorer*>(h)->dump_table_count(n);
+}
+
+int32_t st_kenlm_dump_table(void* h, int32_t n, uint32_t* lo, uint32_t* hi,
+                            float* prob, float* backoff) {
+  return static_cast<KenlmBinaryScorer*>(h)->dump_table(n, lo, hi, prob,
+                                                        backoff);
+}
+
+// vocabulary surface forms, nul-joined in id order
+int64_t st_kenlm_dump_vocab_bytes(void* h) {
+  const auto& words = static_cast<KenlmBinaryScorer*>(h)->dump_words();
+  int64_t total = 0;
+  for (const auto& w : words) total += (int64_t)w.size() + 1;
+  return total;
+}
+
+int32_t st_kenlm_dump_vocab(void* h, char* out, int64_t cap) {
+  const auto& words = static_cast<KenlmBinaryScorer*>(h)->dump_words();
+  int64_t pos = 0;
+  for (const auto& w : words) {
+    if (pos + (int64_t)w.size() + 1 > cap) return 1;
+    std::memcpy(out + pos, w.data(), w.size());
+    pos += (int64_t)w.size();
+    out[pos++] = '\0';
+  }
+  return 0;
+}
+
+}  // extern "C"
 
 }  // namespace speecht

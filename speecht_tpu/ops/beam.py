@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import concurrent.futures
 import os
+import time
 
 import jax
 import numpy as np
@@ -64,8 +65,7 @@ def find_lm_files(directory: str) -> tuple[str, str | None]:
 
 
 def find_arpa_file(directory: str) -> str | None:
-    """The ARPA source in an LM directory (the device beam requires it —
-    KenLM binaries' n-gram keys are one-way hashes, see beam_device.py)."""
+    """The ARPA source in an LM directory, if any."""
     for name in sorted(os.listdir(directory)):
         if name.endswith(".arpa") or name.endswith(".arpa.txt"):
             return os.path.join(directory, name)
@@ -88,9 +88,9 @@ class BeamSearchDecoder:
 
         ``device_beam`` (default: the lm_config's ``--device-beam`` flag)
         runs the beam itself on the TPU (`ops/beam_device.py`) instead of
-        the host C++ beam — batch-parallel, no host-core bottleneck. It
-        requires the ARPA source in the LM directory (binaries are
-        host-only: their n-gram keys are one-way hashes)."""
+        the host C++ beam — batch-parallel, no host-core bottleneck. The
+        LM directory may hold either the ARPA source or a KenLM PROBING
+        binary (the released bundle layout works unmodified)."""
         self.model = model
         self.lm_config = lm_config
         if blank_threshold is None:
@@ -121,28 +121,56 @@ class BeamSearchDecoder:
 
             device_lm = None
             if lm_config.language_model:
-                arpa = find_arpa_file(lm_config.language_model)
-                if arpa is None:
-                    raise FileNotFoundError(
-                        "--device-beam needs the ARPA source (.arpa) in "
-                        f"{lm_config.language_model}; KenLM binaries feed "
-                        "only the host beam (their n-gram keys are one-way "
-                        "hashes). KenLM releases ship the ARPA alongside "
-                        "the binary, or use --rescore N (host-rescored "
-                        "n-best), which reads binaries."
+                # the released bundle layout works unmodified: PROBING
+                # binaries feed the device tables through the native
+                # raw-table dump (DeviceLM.from_binary); ARPA sources are
+                # parsed directly. Binaries preferred (native parse is
+                # much faster than the Python ARPA reader at LM scale).
+                model_path, vocab = find_lm_files(lm_config.language_model)
+                budget_gb = float(
+                    getattr(lm_config, "device_lm_hbm_gb", 8.0)
+                )
+                # cheap pre-check: device tables run ~2.2x a PROBING
+                # binary / ~1.2x an ARPA text. Catches LMs that would OOM
+                # the chip *during* the table build.
+                fsize = os.path.getsize(model_path)
+                factor = 2.2 if native.lm_is_binary(model_path) else 1.2
+                est_gb = fsize * factor / (1 << 30)
+                if est_gb > budget_gb:
+                    print(
+                        f"device LM tables would need ~{est_gb:.1f} GiB "
+                        f"HBM (> --device-lm-hbm-gb {budget_gb:.1f}); "
+                        "falling back to the host beam (use --rescore N "
+                        "for a device-accelerated path with large LMs)"
                     )
-                vocab = os.path.join(
-                    lm_config.language_model, "vocabulary"
+                    device_beam = self.device_beam = False
+                else:
+                    if native.lm_is_binary(model_path):
+                        device_lm = beam_device.DeviceLM.from_binary(
+                            model_path, vocab
+                        )
+                    else:
+                        device_lm = beam_device.DeviceLM(model_path, vocab)
+                    gb = device_lm.hbm_bytes() / (1 << 30)
+                    if gb > budget_gb:  # exact post-build check
+                        print(
+                            f"device LM tables need {gb:.1f} GiB HBM "
+                            f"(> --device-lm-hbm-gb {budget_gb:.1f}); "
+                            "falling back to the host beam (use "
+                            "--rescore N for a device-accelerated path "
+                            "with large LMs)"
+                        )
+                        device_lm = None
+                        device_beam = self.device_beam = False
+            if device_beam:
+                self._beam_fn = beam_device.make_device_beam_search(
+                    lm_config.beam_width, lm=device_lm
                 )
-                device_lm = beam_device.DeviceLM(
-                    arpa, vocab if os.path.exists(vocab) else None
-                )
-            self._beam_fn = beam_device.make_device_beam_search(
-                lm_config.beam_width, lm=device_lm
-            )
-        elif lm_config.language_model:
-            arpa, vocab = find_lm_files(lm_config.language_model)
-            self.lm = native.NGramLM(arpa, vocab)
+        if not device_beam and not self.rescore_n and (
+            lm_config.language_model
+        ):
+            model_path, vocab = find_lm_files(lm_config.language_model)
+            self.lm = native.NGramLM(model_path, vocab)
         self._loss_fn = tstep.make_loss_fn(model)
         self._pool = None
         if not device_beam or self.rescore_n:
@@ -228,13 +256,35 @@ class BeamSearchDecoder:
             # and short batches stop paying for the full logit width
             t_max = int(np.max(lengths)) if B else 0
             t_bucket = min(T, max(32, -(-t_max // 32) * 32))
+            # first-use UX: a fresh bucket means a (possibly minutes-long
+            # on a cold cache) XLA compile — say so instead of hanging
+            # silently, and report when it was a warm cache hit
+            if not hasattr(self, "_seen_buckets"):
+                self._seen_buckets = set()
+            announce = (B, t_bucket) not in self._seen_buckets
+            if announce:
+                self._seen_buckets.add((B, t_bucket))
+                print(
+                    f"device beam: bucket B{B}xT{t_bucket} first use -- "
+                    "compiling (minutes on a cold cache; "
+                    "tools/warm_beam_cache.py precompiles the ladder)",
+                    flush=True,
+                )
+                t_start = time.perf_counter()
             if self.rescore_n:
                 # stage 1: pure-acoustic n-best (all fusion weights zero)
                 ids, lens, scores = self._beam_fn(
                     logp[:, :t_bucket], lengths, 0.0, 0.0, 0.0
                 )
+                ids = np.asarray(ids)  # sync: compile + run complete here
+                if announce:
+                    print(
+                        f"device beam: bucket B{B}xT{t_bucket} ready in "
+                        f"{time.perf_counter() - t_start:.1f}s",
+                        flush=True,
+                    )
                 return self._rescore(
-                    np.asarray(ids),
+                    ids,
                     np.asarray(lens),
                     np.asarray(scores),
                     lm_w,
@@ -244,7 +294,14 @@ class BeamSearchDecoder:
             ids, out_lengths = self._beam_fn(
                 logp[:, :t_bucket], lengths, lm_w, wc_w, vwc_w
             )
-            return np.asarray(ids), np.asarray(out_lengths)
+            ids = np.asarray(ids)  # sync: compile + run complete here
+            if announce:
+                print(
+                    f"device beam: bucket B{B}xT{t_bucket} ready in "
+                    f"{time.perf_counter() - t_start:.1f}s",
+                    flush=True,
+                )
+            return ids, np.asarray(out_lengths)
 
         out = np.full((B, T), vocabulary.PAD_ID, dtype=np.int32)
         out_lengths = np.zeros(B, dtype=np.int32)

@@ -130,16 +130,91 @@ def _key_hash(tok: jax.Array) -> tuple[jax.Array, jax.Array]:
     return k1, jnp.where(zero, jnp.uint32(1), k2)
 
 
+# KenLM's chained n-gram hash constants (kenlm_binary.cpp
+# combine_word_hash), split into u32 halves: TPUs have no 64-bit integer
+# units, so the 64-bit wrapping multiply is emulated with 16-bit limb
+# products over u32 pairs (vector ops, ~15 VPU instructions per combine).
+_KLM_C1 = 8978948897894561157
+_KLM_C2 = 17894857484156487943
+_C1HI = np.uint32(_KLM_C1 >> 32)
+_C1LO = np.uint32(_KLM_C1 & 0xFFFFFFFF)
+_C2HI = np.uint32(_KLM_C2 >> 32)
+_C2LO = np.uint32(_KLM_C2 & 0xFFFFFFFF)
+
+
+def _mul32_wide(a: jax.Array, b: jax.Array):
+    """u32 x u32 -> full 64-bit product as a (hi, lo) u32 pair."""
+    m16 = jnp.uint32(0xFFFF)
+    a0, a1 = a & m16, a >> 16
+    b0, b1 = b & m16, b >> 16
+    p00 = a0 * b0
+    p01 = a0 * b1
+    p10 = a1 * b0
+    mid = (p00 >> 16) + (p01 & m16) + (p10 & m16)
+    lo = (p00 & m16) | ((mid & m16) << 16)
+    hi = a1 * b1 + (p01 >> 16) + (p10 >> 16) + (mid >> 16)
+    return hi, lo
+
+
+def _kenlm_key_hash(tok: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """KenLM chained n-gram hash over ``tok`` [..., n] word ids -> (lo, hi).
+
+    Bit-exact twin of kenlm_binary.cpp ``ngram_hash``/``combine_word_hash``
+    (h = (h * C1) ^ ((1 + next) * C2), wrapping u64), so tables dumped
+    straight out of a PROBING binary are probed with the binary's own keys
+    — no word-sequence recovery needed. Returns (lo, hi) to match the
+    (k1, k2) layout of tables built by ``DeviceLM.from_binary``; the
+    writer's key 0 -> 1 empty-slot remap is reproduced.
+    """
+    u = tok.astype(jnp.uint32)
+    hhi = jnp.zeros(tok.shape[:-1], jnp.uint32)
+    hlo = u[..., 0]
+    for i in range(1, tok.shape[-1]):
+        thi, tlo = _mul32_wide(hlo, _C1LO)
+        thi = thi + hlo * _C1HI + hhi * _C1LO
+        w = u[..., i] + jnp.uint32(1)
+        whi, wlo = _mul32_wide(w, _C2LO)
+        whi = whi + w * _C2HI
+        hhi, hlo = thi ^ whi, tlo ^ wlo
+    zero = (hhi == 0) & (hlo == 0)
+    return jnp.where(zero, jnp.uint32(1), hlo), hhi
+
+
+def _np_kenlm_key_hash_rows(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Host twin of :func:`_kenlm_key_hash` (exact u64 arithmetic)."""
+    mask = (1 << 64) - 1
+    lo = np.zeros(len(ids), np.uint32)
+    hi = np.zeros(len(ids), np.uint32)
+    for r, row in enumerate(np.atleast_2d(ids)):
+        h = int(row[0])
+        for x in row[1:]:
+            h = ((h * _KLM_C1) ^ ((1 + int(x)) * _KLM_C2)) & mask
+        if h == 0:
+            h = 1
+        lo[r] = h & 0xFFFFFFFF
+        hi[r] = h >> 32
+    return lo, hi
+
+
 def _build_bucket_table(
     k1: np.ndarray, k2: np.ndarray, values: list[np.ndarray], slots: int = 4
-) -> tuple[np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, bool]:
     """Bucketed hash table split for minimal probe traffic (host build).
 
-    Returns (keys int32 [NB, slots, 2], vals int32 [NB, slots, len(values)])
-    — float values bit-cast. NB is a power of two chosen so no bucket
-    overflows ``slots``: a device probe gathers one 8·slots-byte key row
-    (no data-dependent probe chain), and only the single matched slot's
-    value row is fetched afterwards. The arena probe is random-access
+    Returns (keys int32 [NB, slots, 2], vals int32 [NB, slots, len(values)],
+    two_choice) — float values bit-cast. NB is a power of two sized for a
+    mean load of ~``slots``/2. Placement is **two-choice**: a key goes in
+    bucket ``k1 % NB``, overflowing keys fall back to ``k2 % NB`` (an
+    independent hash stream). With one choice, "no bucket exceeds
+    ``slots``" cannot hold at LM scale — Poisson tails guarantee overflow
+    somewhere once buckets number in the millions, and doubling NB until
+    the max load fits would blow HBM by orders of magnitude. Two-choice
+    placement keeps the max load bounded at realistic load factors
+    (power-of-two-choices), so a 50M-n-gram LM packs at ~2x entry bytes.
+
+    ``two_choice`` is False when every key landed in its primary bucket
+    (small LMs): the device probe then gathers ONE 8·slots-byte key row;
+    True adds the second row. The arena probe is random-access
     latency-bound on HBM, so bytes-per-probe is the metric that matters —
     keys and values are deliberately NOT interleaved.
     """
@@ -160,51 +235,138 @@ def _build_bucket_table(
     while nb * slots < max(2 * n, slots):
         nb *= 2
     while True:
-        buckets = k1 % np.uint32(nb)
-        counts = np.bincount(buckets, minlength=nb)
-        if counts.max(initial=0) <= slots:
-            break
-        nb *= 2
         if nb > (1 << 28):  # > 1e9 slots: hash pathology, not table load
             raise ValueError(
                 "bucket table cannot satisfy the slot bound; "
                 "degenerate key distribution"
             )
+        placed = _two_choice_place(k1, k2, nb, slots)
+        if placed is not None:
+            sb, slot = placed
+            break
+        nb *= 2  # cuckoo walks failed to converge (rare): grow and retry
     keys = np.zeros((nb, slots, 2), np.int32)
     vals = np.zeros((nb, slots, len(values)), np.int32)
+    b1 = (k1 % np.uint32(nb)).astype(np.int64) if n else sb
+    two_choice = bool(n) and bool((sb != b1).any())
     if n:
-        # vectorized fill: rows sorted by bucket get consecutive slots
-        order = np.argsort(buckets, kind="stable")
-        sb = buckets[order].astype(np.int64)
-        first = np.zeros(nb, np.int64)
-        np.cumsum(counts[:-1], out=first[1:])
-        slot = np.arange(n, dtype=np.int64) - first[sb]
-        keys[sb, slot, 0] = k1[order].view(np.int32)
-        keys[sb, slot, 1] = k2[order].view(np.int32)
+        keys[sb, slot, 0] = k1.view(np.int32)
+        keys[sb, slot, 1] = k2.view(np.int32)
         for c, src in enumerate(values):
             src = np.asarray(src)
             if src.dtype == np.float32:
                 src = src.view(np.int32)
             else:
                 src = src.astype(np.int32)
-            vals[sb, slot, c] = src[order]
-    return keys, vals
+            vals[sb, slot, c] = src
+    return keys, vals, two_choice
 
 
-def _probe(keys: jax.Array, vals: jax.Array, k1: jax.Array, k2: jax.Array):
+def _two_choice_place(
+    k1: np.ndarray, k2: np.ndarray, nb: int, slots: int
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Place every key in bucket ``k1 % nb`` or ``k2 % nb``.
+
+    Returns (bucket [n], slot [n]) or None when placement fails. Three
+    passes: vectorized greedy into the primary bucket, vectorized spill
+    into the second choice's free slots, then cuckoo random-walk eviction
+    for the residue (at the designed ~50% load the residue is a tiny
+    fraction; cuckoo with 2 hashes x 4-slot buckets converges far above
+    this load, so growth retries are pathological-input-only)."""
+    n = len(k1)
+    b1 = (k1 % np.uint32(nb)).astype(np.int64)
+    b2 = (k2 % np.uint32(nb)).astype(np.int64)
+    if n == 0:
+        z = np.zeros(0, np.int64)
+        return z, z
+    # pass 1: primary bucket, first `slots` keys per bucket
+    counts1 = np.bincount(b1, minlength=nb)
+    order = np.argsort(b1, kind="stable")
+    first = np.zeros(nb, np.int64)
+    np.cumsum(counts1[:-1], out=first[1:])
+    rank = np.arange(n, dtype=np.int64) - first[b1[order]]
+    primary = rank < slots
+    out_bucket = np.full(n, -1, np.int64)
+    out_slot = np.full(n, -1, np.int64)
+    p_idx = order[primary]
+    out_bucket[p_idx] = b1[p_idx]
+    out_slot[p_idx] = rank[primary]
+    # pass 2: overflow into the second choice's free slots
+    o_idx = order[~primary]
+    if len(o_idx):
+        ob2 = b2[o_idx]
+        taken = np.minimum(counts1, slots)
+        oorder = np.argsort(ob2, kind="stable")
+        counts2 = np.bincount(ob2, minlength=nb)
+        first2 = np.zeros(nb, np.int64)
+        np.cumsum(counts2[:-1], out=first2[1:])
+        rank2 = np.arange(len(o_idx), dtype=np.int64) - first2[ob2[oorder]]
+        fits = rank2 < (slots - taken[ob2[oorder]])
+        f_idx = o_idx[oorder][fits]
+        out_bucket[f_idx] = ob2[oorder][fits]
+        out_slot[f_idx] = taken[ob2[oorder][fits]] + rank2[fits]
+        residue = o_idx[oorder][~fits]
+    else:
+        residue = o_idx
+    if len(residue):
+        # pass 3: cuckoo eviction walks over an explicit occupancy table
+        table = np.full((nb, slots), -1, np.int64)
+        ok = out_bucket >= 0
+        table[out_bucket[ok], out_slot[ok]] = np.nonzero(ok)[0]
+        rng = np.random.RandomState(0x5EED)
+        for start in residue:
+            cur = int(start)
+            b = int(b1[cur]) if rng.rand() < 0.5 else int(b2[cur])
+            for _step in range(500):
+                row = table[b]
+                free = np.nonzero(row < 0)[0]
+                if len(free):
+                    table[b, free[0]] = cur
+                    break
+                s = int(rng.randint(slots))
+                victim = int(row[s])
+                table[b, s] = cur
+                cur = victim
+                b = int(b2[cur]) if b == int(b1[cur]) else int(b1[cur])
+            else:
+                return None  # walk did not converge; caller grows nb
+        occ = table >= 0
+        bkt, slt = np.nonzero(occ)
+        out_bucket[table[bkt, slt]] = bkt
+        out_slot[table[bkt, slt]] = slt
+    return out_bucket, out_slot
+
+
+def _probe(
+    keys: jax.Array,
+    vals: jax.Array,
+    k1: jax.Array,
+    k2: jax.Array,
+    two_choice: bool = False,
+):
     """Probe a split bucket table: (found [...], value rows [..., nv] i32).
 
-    One contiguous key-row gather + one matched-slot value fetch.
+    One contiguous key-row gather + one matched-slot value fetch;
+    ``two_choice`` tables (any key in its fallback bucket — large LMs)
+    add the second key-row gather. The flag is compile-time static, so
+    small-LM programs keep the single-gather probe.
     """
     nb = keys.shape[0]
-    b = jax.lax.bitcast_convert_type(k1 % jnp.uint32(nb), jnp.int32)
-    rows = keys[b]  # [..., slots, 2]
+    slots = keys.shape[1]
+    b1 = jax.lax.bitcast_convert_type(k1 % jnp.uint32(nb), jnp.int32)
+    rows = keys[b1]  # [..., slots, 2]
     i1 = jax.lax.bitcast_convert_type(k1, jnp.int32)
     i2 = jax.lax.bitcast_convert_type(k2, jnp.int32)
+    if two_choice:
+        b2 = jax.lax.bitcast_convert_type(k2 % jnp.uint32(nb), jnp.int32)
+        rows = jnp.concatenate([rows, keys[b2]], axis=-2)  # [..., 2s, 2]
     hit = (rows[..., 0] == i1[..., None]) & (rows[..., 1] == i2[..., None])
     found = jnp.any(hit, axis=-1)
     slot = jnp.argmax(hit, axis=-1).astype(jnp.int32)
-    return found, vals[b, slot]
+    if two_choice:
+        bucket = jnp.where(slot < slots, b1, b2)
+        return found, vals[bucket, slot % slots]
+    return found, vals[b1, slot]
 
 
 def _as_f32(v):
@@ -281,20 +443,139 @@ def _word_char_ids(word: str) -> list[int] | None:
     return ids
 
 
-class DeviceLM:
-    """ARPA backoff n-gram LM compiled to device-resident hash tables.
+def _trie_words_from(vocab_path: str | None, word_ids) -> set[str]:
+    """Valid-word set: explicit vocabulary file, else the LM's own words
+    (lowercased), minus specials — exactly the host trie's content."""
+    trie_words: set[str] = set()
+    if vocab_path:
+        with open(vocab_path, errors="replace") as vf:
+            for w in vf:
+                w = w.strip().lower()
+                if w:
+                    trie_words.add(w)
+    else:
+        for w in word_ids:
+            if w in ("<s>", "</s>", "<unk>"):
+                continue
+            trie_words.add(w.lower())
+    return trie_words
 
-    Mirrors the host LM exactly (`native/beam_search.cpp` ArpaScorer +
-    vocabulary trie): same backoff recursion, same <unk> floor, same
-    valid-word set (the explicit ``vocab_path`` word list when given, else
-    the LM's own non-special words, lowercased). KenLM PROBING *binaries*
-    cannot feed this path — their n-gram keys are one-way hashes, so the
-    word-id sequences needed to rebuild device tables are unrecoverable;
-    use the ARPA source (KenLM ships it alongside binaries) or the host
-    beam, which reads binaries natively.
+
+def _build_word_tables(word_ids: dict[str, int], trie_words: set[str],
+                       unk_id: int):
+    """Word table: rolling-char-hash -> (LM word id, valid-word bit), over
+    every alphabet-representable word either side knows."""
+    keys: dict[tuple[int, int], tuple[int, int]] = {}
+    for w in set(word_ids) | trie_words:
+        cids = _word_char_ids(w)
+        if cids is None or not cids:
+            continue
+        wh = _np_word_hash(np.array(cids, np.int64))
+        wid = word_ids.get(w, unk_id)
+        valid = 1 if w in trie_words else 0
+        keys[(int(wh[0]), int(wh[1]))] = (wid, valid)
+    wk1 = np.array([k[0] for k in keys], np.uint32).reshape(-1)
+    wk2 = np.array([k[1] for k in keys], np.uint32).reshape(-1)
+    wid_arr = np.array([v[0] for v in keys.values()], np.int32)
+    val_arr = np.array([v[1] for v in keys.values()], np.int32)
+    return _build_bucket_table(wk1, wk2, [wid_arr, val_arr])
+
+
+def _assemble_arena(k1s, k2s, probs, backs):
+    """Unified arena over all orders >= 2 (one bucketed table)."""
+    if k1s:
+        k1 = np.concatenate(k1s)
+        k2 = np.concatenate(k2s)
+        prob = np.concatenate(probs)
+        back = np.concatenate(backs)
+    else:
+        k1 = np.zeros(0, np.uint32)
+        k2 = np.zeros(0, np.uint32)
+        prob = back = np.zeros(0, np.float32)
+    return _build_bucket_table(k1, k2, [prob, back])
+
+
+class DeviceLM:
+    """Backoff n-gram LM compiled to device-resident hash tables.
+
+    Two sources:
+
+    - ``DeviceLM(arpa_path, vocab_path)`` parses KenLM's ARPA text format;
+      n-gram windows are keyed by this module's FNV-style dual 32-bit hash
+      over interned word ids. Mirrors the host ArpaScorer exactly
+      (`native/beam_search.cpp`): same backoff recursion, same <unk>
+      floor, same valid-word set.
+    - ``DeviceLM.from_binary(binary_path, vocab_path)`` ingests a KenLM
+      PROBING *binary* (the reference's released bundle layout,
+      `kenlm-model.binary` — reference speecht-cli:84-88) via the native
+      reader's raw-table dump. Binary n-gram keys are one-way chained
+      64-bit hashes, so word sequences are unrecoverable — instead the
+      device search recomputes KenLM's own chained hash from its word-id
+      history (``_kenlm_key_hash``, u64 emulated on u32 pairs) and probes
+      tables keyed by the binary's hashes directly. Scoring then mirrors
+      the host binary scorer (kenlm_binary.cpp KenlmBinaryScorer).
     """
 
+    @classmethod
+    def from_binary(cls, binary_path: str, vocab_path: str | None = None):
+        from speecht_tpu import native
+
+        d = native.kenlm_dump(binary_path)
+        self = cls.__new__(cls)
+        order = d["order"]
+        self.order = order
+        # host semantics: context capped at <s> + 4 completed words
+        self.hist_len = min(order - 1, 5)
+        self.key_scheme = "kenlm"
+        words = d["words"]
+        word_ids = {w: i for i, w in enumerate(words)}
+        self.unk_id = word_ids.get("<unk>", 0)
+        self.bos_id = word_ids.get("<s>", -1)
+
+        uprob = np.asarray(d["uni_prob"], np.float32)
+        uback = np.asarray(d["uni_back"], np.float32)
+        self.unk_floor = (
+            float(uprob[self.unk_id]) if len(uprob) else -10.0
+        )
+        # the host binary scorer's find_unigram succeeds for every id in
+        # the unigram array (missing entries read as prob 0.0) — mirror it
+        upresent = np.ones(max(len(uprob), 1), np.int32)
+        uni = np.stack(
+            [
+                uprob.view(np.int32) if len(uprob) else np.zeros(1, np.int32),
+                uback.view(np.int32) if len(uback) else np.zeros(1, np.int32),
+                upresent,
+            ],
+            axis=-1,
+        )
+        tables = {"uni": jnp.asarray(uni)}
+
+        k1s, k2s, probs, backs = [], [], [], []
+        for n in range(2, order + 1):
+            lo, hi, prob, back = d["tables"][n]
+            k1s.append(lo)
+            k2s.append(hi)
+            probs.append(prob)
+            backs.append(back)
+        ak, av, a2c = _assemble_arena(k1s, k2s, probs, backs)
+        tables["arena_k"] = jnp.asarray(ak)
+        tables["arena_v"] = jnp.asarray(av)
+        self.arena_two_choice = a2c
+
+        trie_words = _trie_words_from(vocab_path, word_ids)
+        wk, wv, w2c = _build_word_tables(word_ids, trie_words, self.unk_id)
+        tables["words_k"] = jnp.asarray(wk)
+        tables["words_v"] = jnp.asarray(wv)
+        self.words_two_choice = w2c
+        self.tables = tables
+        return self
+
+    def hbm_bytes(self) -> int:
+        """Device memory the LM tables occupy (HBM-budget checks)."""
+        return sum(int(t.size) * 4 for t in self.tables.values())
+
     def __init__(self, arpa_path: str, vocab_path: str | None = None):
+        self.key_scheme = "fnv"
         order, word_ids, entries = _parse_arpa(arpa_path)
         if order == 0:
             raise ValueError(f"no n-grams parsed from {arpa_path}")
@@ -343,52 +624,16 @@ class DeviceLM:
             k2s.append(k2)
             probs.append(prob)
             backs.append(back)
-        if k1s:
-            k1 = np.concatenate(k1s)
-            k2 = np.concatenate(k2s)
-            prob = np.concatenate(probs)
-            back = np.concatenate(backs)
-        else:
-            k1 = np.zeros(0, np.uint32)
-            k2 = np.zeros(0, np.uint32)
-            prob = back = np.zeros(0, np.float32)
-        ak, av = _build_bucket_table(k1, k2, [prob, back])
+        ak, av, a2c = _assemble_arena(k1s, k2s, probs, backs)
         tables["arena_k"] = jnp.asarray(ak)
         tables["arena_v"] = jnp.asarray(av)
+        self.arena_two_choice = a2c
 
-        # valid-word set: explicit vocabulary file, else the LM's own words
-        # (lowercased), minus specials — exactly the host trie's content
-        trie_words: set[str] = set()
-        if vocab_path:
-            with open(vocab_path, errors="replace") as vf:
-                for w in vf:
-                    w = w.strip().lower()
-                    if w:
-                        trie_words.add(w)
-        else:
-            for w in word_ids:
-                if w in ("<s>", "</s>", "<unk>"):
-                    continue
-                trie_words.add(w.lower())
-
-        # word table: rolling-char-hash -> (LM word id, valid-word bit),
-        # over every alphabet-representable word either side knows
-        keys: dict[tuple[int, int], tuple[int, int]] = {}
-        for w in set(word_ids) | trie_words:
-            cids = _word_char_ids(w)
-            if cids is None or not cids:
-                continue
-            wh = _np_word_hash(np.array(cids, np.int64))
-            wid = word_ids.get(w, self.unk_id)
-            valid = 1 if w in trie_words else 0
-            keys[(int(wh[0]), int(wh[1]))] = (wid, valid)
-        wk1 = np.array([k[0] for k in keys], np.uint32).reshape(-1)
-        wk2 = np.array([k[1] for k in keys], np.uint32).reshape(-1)
-        wid_arr = np.array([v[0] for v in keys.values()], np.int32)
-        val_arr = np.array([v[1] for v in keys.values()], np.int32)
-        wk, wv = _build_bucket_table(wk1, wk2, [wid_arr, val_arr])
+        trie_words = _trie_words_from(vocab_path, word_ids)
+        wk, wv, w2c = _build_word_tables(word_ids, trie_words, self.unk_id)
         tables["words_k"] = jnp.asarray(wk)
         tables["words_v"] = jnp.asarray(wv)
+        self.words_two_choice = w2c
         self.tables = tables
 
 
@@ -406,9 +651,21 @@ def _make_lm_fns(lm: DeviceLM | None):
     unk_id = lm.unk_id
     unk_floor = jnp.float32(lm.unk_floor)
     nuni = t["uni"].shape[0]
+    # ARPA tables are keyed by this module's FNV-style dual hash; binary
+    # tables carry KenLM's own chained 64-bit keys (recomputed on device)
+    window_hash = (
+        _kenlm_key_hash
+        if getattr(lm, "key_scheme", "fnv") == "kenlm"
+        else _key_hash
+    )
+
+    arena_2c = bool(getattr(lm, "arena_two_choice", False))
+    words_2c = bool(getattr(lm, "words_two_choice", False))
 
     def word_lookup(wh1, wh2):
-        found, v = _probe(t["words_k"], t["words_v"], wh1, wh2)
+        found, v = _probe(
+            t["words_k"], t["words_v"], wh1, wh2, two_choice=words_2c
+        )
         wid = jnp.where(found, v[..., 0], jnp.int32(unk_id))
         valid = jnp.where(found, v[..., 1], 0).astype(jnp.float32)
         return wid, valid
@@ -440,12 +697,14 @@ def _make_lm_fns(lm: DeviceLM | None):
             k1s = []
             k2s = []
             for wnd in allw:
-                a, b = _key_hash(wnd)
+                a, b = window_hash(wnd)
                 k1s.append(a)
                 k2s.append(b)
             k1 = jnp.stack(k1s, axis=-1)  # [., L]
             k2 = jnp.stack(k2s, axis=-1)
-            found_l, v_l = _probe(t["arena_k"], t["arena_v"], k1, k2)
+            found_l, v_l = _probe(
+                t["arena_k"], t["arena_v"], k1, k2, two_choice=arena_2c
+            )
             prob_l = _as_f32(v_l[..., 0])
             back_l = _as_f32(v_l[..., 1])
 

@@ -299,6 +299,58 @@ class StreamingRecognizer:
         )
         return vocabulary.ids_to_sentence(self._committed_ids + tentative)
 
+    def partial_text_fused(
+        self,
+        lm,
+        lm_weight: float = 0.8,
+        word_count_weight: float = 0.0,
+        valid_word_count_weight: float = 2.3,
+        beam_width: int = 32,
+    ) -> str:
+        """Committed text + an LM-fused beam over the tentative tail.
+
+        A narrow continuation-mode prefix beam (native
+        ``st_ctc_beam_search_cont``) decodes the tentative logit span
+        conditioned on the committed context: the committed complete
+        words seed the LM history, the committed trailing word fragment
+        prefixes the first word completed in the tail, and the greedy
+        collapse carry crosses the boundary so repeats merge exactly as
+        the committed path left them. The committed span itself is never
+        re-decoded — the monotone-commit guarantee is untouched; only the
+        tentative tail benefits from the LM, and as the utterance ends
+        the fused partial converges to ``finalize(beam)``'s transcript.
+
+        ``lm`` is a ``native.NGramLM``; greedy partials remain the
+        default (``partial_text``) when no LM is configured.
+        """
+        from speecht_tpu import native
+
+        if self._logits is None or not len(self._logits):
+            return self.committed_text()
+        total_out = self._logits.shape[0]
+        tail = self._logits[self._frontier : total_out]
+        if not len(tail):
+            return self.committed_text()
+        shifted = tail - tail.max(-1, keepdims=True)
+        logp = shifted - np.log(np.exp(shifted).sum(-1, keepdims=True))
+        prev = self._committed_prev
+        mid_char = prev not in (-1, vocabulary.BLANK_ID)
+        ids = native.ctc_beam_search_cont(
+            logp.astype(np.float32),
+            context_text=self.committed_text(),
+            last_char_id=int(prev) if mid_char else -1,
+            ended_in_blank=not mid_char,
+            beam_width=beam_width,
+            lm=lm,
+            lm_weight=lm_weight,
+            word_count_weight=word_count_weight,
+            valid_word_count_weight=valid_word_count_weight,
+            blank_id=vocabulary.BLANK_ID,
+        )
+        return vocabulary.ids_to_sentence(
+            self._committed_ids + [int(x) for x in ids]
+        )
+
     def finalize_logits(self) -> np.ndarray:
         """Exact offline logits [T//2, C] of the full buffered utterance."""
         if len(self._audio) < self.n_fft:

@@ -27,6 +27,21 @@ class Preprocessing:
             raise ValueError("Feature type must be mfcc or power.")
         preprocess_fnc = F.FEATURE_FUNCTIONS[flags.feature_type]
         workers = getattr(flags, "num_workers", 0)
+        on_device = bool(getattr(flags, "device_preprocess", False))
+        if on_device:
+            # batched TPU DSP (reader.store_samples_device); compilation
+            # cache makes repeat bucket shapes start instantly
+            from speecht_tpu import runtime
+
+            runtime.enable_compilation_cache()
+
+        def store(split: str):
+            if on_device:
+                reader.store_samples_device(split, flags.feature_type)
+            else:
+                reader.store_samples(
+                    split, preprocess_fnc, num_workers=workers
+                )
 
         preprocess_all = not (
             flags.train_only or flags.test_only or flags.dev_only
@@ -34,12 +49,12 @@ class Preprocessing:
 
         if flags.train_only or preprocess_all:
             print("Preprocessing training data")
-            reader.store_samples("train", preprocess_fnc, num_workers=workers)
+            store("train")
 
         if flags.test_only or preprocess_all:
             print("Preprocessing test data")
-            reader.store_samples("test", preprocess_fnc, num_workers=workers)
+            store("test")
 
         if flags.dev_only or preprocess_all:
             print("Preprocessing development data")
-            reader.store_samples("dev", preprocess_fnc, num_workers=workers)
+            store("dev")

@@ -87,7 +87,11 @@ class Recording:
             sample_rate=sample_rate,
             feature_type=self.flags.feature_type,
         )
-        # with --language-model the final transcript is LM-rescored
+        # with --language-model the PARTIALS are LM-fused too (a narrow
+        # continuation beam over the tentative tail; committed text stays
+        # frozen) and the final transcript is decoded through the full
+        # beam — the streaming twin of the reference record's LM decode
+        # (reference recording.py:50-69, speech_model.py:101-111)
         beam = None
         lm_flags = getattr(self.flags, "lm", None)
         if lm_flags is not None and lm_flags.language_model:
@@ -109,6 +113,15 @@ class Recording:
                     stream.read(recorder.chunk_size), dtype=np.float32
                 )
                 partial = rec.accept_chunk(chunk)
+                if beam is not None and beam.lm is not None:
+                    partial = rec.partial_text_fused(
+                        beam.lm,
+                        lm_weight=beam.lm_config.lm_weight,
+                        word_count_weight=beam.lm_config.word_count_weight,
+                        valid_word_count_weight=(
+                            beam.lm_config.valid_word_count_weight
+                        ),
+                    )
                 print(f"\rpartial: {partial}", end="", flush=True)
         except KeyboardInterrupt:
             print()

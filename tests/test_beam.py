@@ -568,8 +568,8 @@ class TestRescore:
         ).startswith("cat")
 
     def test_rescore_reads_kenlm_binary(self, lm_dir, tmp_path):
-        # a binary-ONLY LM directory: fused --device-beam refuses it, but
-        # --rescore decodes (host scorer reads the binary)
+        # a binary-ONLY LM directory: --rescore decodes with the host
+        # scorer reading the binary (no device LM tables involved)
         bundle = tmp_path / "binlm"
         bundle.mkdir()
         native.lm_write_binary(
@@ -648,3 +648,183 @@ class TestShallowFusion:
         many_words = len(vocabulary.ids_to_sentence(many).split())
         few_words = len(vocabulary.ids_to_sentence(few).split())
         assert many_words >= few_words
+
+
+class TestDeviceBeamBinaryBundle:
+    """--device-beam over the released bundle layout: the LM directory
+    holds ONLY kenlm-model.binary + vocabulary (no ARPA), and the fused
+    device beam must build its tables from the binary (reference
+    speecht-cli:84-88, README.md:92)."""
+
+    def _bundle_dir(self, tmp_path):
+        import shutil
+
+        bundle = tmp_path / "bundle"
+        bundle.mkdir()
+        arpa = tmp_path / "src.arpa"
+        arpa.write_text(ARPA)
+        native.lm_write_binary(str(arpa), str(bundle / "kenlm-model.binary"))
+        (bundle / "vocabulary").write_text("the\ncat\ndog\nsat\n")
+        return bundle
+
+    def test_binary_only_directory_feeds_fused_device_beam(self, tmp_path):
+        bundle = self._bundle_dir(tmp_path)
+        beam = _tiny_decoder(bundle, beam_width=8, device_beam=True)
+        assert beam.device_beam and beam._beam_fn is not None
+        logp = emissions_for_text("cbt ", smear={1: (0, 2.9)})
+        ids, lens = beam.decode_emissions(
+            logp[None],
+            np.array([len(logp)], np.int32),
+            lm_weight=1.0,
+            word_count_weight=0.5,
+            valid_word_count_weight=2.0,
+        )
+        host_lm = native.NGramLM(
+            str(bundle / "kenlm-model.binary"), str(bundle / "vocabulary")
+        )
+        ref = native.ctc_beam_search(
+            logp, beam_width=8, lm=host_lm, lm_weight=1.0,
+            word_count_weight=0.5, valid_word_count_weight=2.0,
+        )
+        assert list(ids[0, : lens[0]]) == [int(x) for x in ref]
+
+    def test_hbm_budget_exceeded_falls_back_to_host(self, tmp_path, capsys):
+        bundle = self._bundle_dir(tmp_path)
+        beam = _tiny_decoder(
+            bundle, beam_width=8, device_beam=True,
+            device_lm_hbm_gb=1e-9,
+        )
+        out = capsys.readouterr().out
+        assert "falling back to the host beam" in out
+        assert not beam.device_beam and beam._beam_fn is None
+        assert beam.lm is not None  # host LM loaded instead
+        logp = emissions_for_text("cbt ", smear={1: (0, 2.9)})
+        ids, lens = beam.decode_emissions(
+            logp[None],
+            np.array([len(logp)], np.int32),
+            lm_weight=1.0,
+            word_count_weight=0.5,
+            valid_word_count_weight=2.0,
+        )
+        ref = native.ctc_beam_search(
+            logp, beam_width=8, lm=beam.lm, lm_weight=1.0,
+            word_count_weight=0.5, valid_word_count_weight=2.0,
+        )
+        assert list(ids[0, : lens[0]]) == [int(x) for x in ref]
+
+
+class TestContinuationBeam:
+    """Continuation-mode prefix beam (st_ctc_beam_search_cont): decodes a
+    tail of emissions conditioned on committed context — the engine of
+    LM-fused streaming partials (ops/streaming.py partial_text_fused)."""
+
+    def test_no_context_equals_plain_beam(self, lm_dir):
+        lm = native.NGramLM(
+            str(lm_dir / "model.arpa"), str(lm_dir / "vocabulary")
+        )
+        rng = np.random.RandomState(3)
+        for _ in range(6):
+            T = rng.randint(4, 30)
+            logits = rng.randn(T, vocabulary.NUM_CLASSES).astype(np.float32)
+            logp = softmax_logs(logits * 2.0)
+            for use_lm in (None, lm):
+                a = native.ctc_beam_search(
+                    logp, beam_width=8, lm=use_lm, lm_weight=1.0,
+                    word_count_weight=0.3, valid_word_count_weight=1.5,
+                )
+                b = native.ctc_beam_search_cont(
+                    logp, context_text="", last_char_id=-1,
+                    ended_in_blank=True, beam_width=8, lm=use_lm,
+                    lm_weight=1.0, word_count_weight=0.3,
+                    valid_word_count_weight=1.5,
+                )
+                assert list(a) == list(b)
+
+    def test_split_decode_converges_to_full_beam(self, lm_dir):
+        """Peaky committed prefix + ambiguous tail: greedy-committed text
+        plus the continuation beam equals one full-utterance beam — the
+        convergence contract of LM-fused streaming partials."""
+        lm = native.NGramLM(
+            str(lm_dir / "model.arpa"), str(lm_dir / "vocabulary")
+        )
+        from speecht_tpu.ops.streaming import greedy_collapse_carry
+
+        # committed: "the " spelled near-one-hot, then one blank frame
+        head = emissions_for_text("the ", confidence=12.0)
+        blank_row = np.full(
+            (1, vocabulary.NUM_CLASSES), -20.0, np.float32
+        )
+        blank_row[0, vocabulary.BLANK_ID] = 0.0
+        blank_row = softmax_logs(blank_row)
+        # tail: acoustically ambiguous "cbt " vs "cat " — the bigram
+        # "the cat" must steer it, which requires the committed word
+        # history to cross the boundary
+        tail = emissions_for_text("cbt ", smear={1: (0, 2.9)})
+        full = np.concatenate([head, blank_row, tail])
+
+        ref = native.ctc_beam_search(
+            full, beam_width=8, lm=lm, lm_weight=4.0,
+            word_count_weight=0.0, valid_word_count_weight=0.0,
+        )
+
+        committed_raw = np.argmax(np.concatenate([head, blank_row]), -1)
+        committed_ids, prev = greedy_collapse_carry(committed_raw)
+        assert vocabulary.ids_to_sentence(committed_ids) == "the "
+        assert prev == vocabulary.BLANK_ID
+        cont = native.ctc_beam_search_cont(
+            tail,
+            context_text=vocabulary.ids_to_sentence(committed_ids),
+            last_char_id=-1,
+            ended_in_blank=True,
+            beam_width=8, lm=lm, lm_weight=4.0,
+            word_count_weight=0.0, valid_word_count_weight=0.0,
+        )
+        joined = committed_ids + [int(x) for x in cont]
+        assert joined == [int(x) for x in ref]
+        # and the LM actually decided: without context the tail prefers b
+        bare = native.ctc_beam_search_cont(
+            tail, context_text="", last_char_id=-1, ended_in_blank=True,
+            beam_width=8, lm=lm, lm_weight=4.0,
+            word_count_weight=0.0, valid_word_count_weight=0.0,
+        )
+        assert vocabulary.ids_to_sentence(
+            [int(x) for x in bare]
+        ) != vocabulary.ids_to_sentence([int(x) for x in cont])
+
+    def test_partial_word_bridges_the_boundary(self, lm_dir):
+        """A word split across the commit boundary gets the valid-word
+        bonus for its FULL surface form."""
+        lm = native.NGramLM(
+            str(lm_dir / "model.arpa"), str(lm_dir / "vocabulary")
+        )
+        # tail completes a word begun in the committed text: "ca|t "
+        tail = emissions_for_text("t ", confidence=3.0)
+        with_prefix = native.ctc_beam_search_cont(
+            tail, context_text="ca", last_char_id=vocabulary.letter_to_id("a"),
+            ended_in_blank=False, beam_width=8, lm=lm,
+            lm_weight=0.0, word_count_weight=0.0,
+            valid_word_count_weight=8.0,
+        )
+        # "cat" is in the vocabulary -> the completion keeps the "t "
+        assert vocabulary.ids_to_sentence(
+            [int(x) for x in with_prefix]
+        ) == "t "
+
+    def test_collapse_carry_merges_repeats(self):
+        """Mid-character boundary: a tail frame repeating the committed
+        last char merges (no new emission) when ended_in_blank=False, and
+        emits a new character after a blank."""
+        t_id = vocabulary.letter_to_id("t")
+        row = np.full((1, vocabulary.NUM_CLASSES), -20.0, np.float32)
+        row[0, t_id] = 0.0
+        logp = softmax_logs(row)
+        merged = native.ctc_beam_search_cont(
+            logp, context_text="cat", last_char_id=t_id,
+            ended_in_blank=False, beam_width=4,
+        )
+        assert list(merged) == []  # repeat merged into the committed 't'
+        fresh = native.ctc_beam_search_cont(
+            logp, context_text="cat", last_char_id=-1,
+            ended_in_blank=True, beam_width=4,
+        )
+        assert [int(x) for x in fresh] == [t_id]

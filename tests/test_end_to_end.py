@@ -70,6 +70,42 @@ def test_preprocess(workdir):
     assert data["audio_fragments"].shape == (1 + 114881 // 160, 128)
 
 
+@pytest.mark.parametrize("feature_flag", ["--power", "--mfcc"])
+def test_preprocess_device_matches_host_cache(workdir, tmp_path,
+                                              feature_flag):
+    """`preprocess --device` (batched TPU DSP) writes a cache numerically
+    equivalent to the host DSP path, same layout (VERDICT r2 #3 / the
+    north star's device front-end for bulk preprocessing)."""
+    dev_root = tmp_path / "devpre"
+    shutil.copytree(workdir / "data", dev_root / "data")
+    # wipe any cache copied from the host run
+    for sub in (dev_root / "data").glob("preprocessed*"):
+        shutil.rmtree(sub)
+    run_cli(dev_root, "preprocess", "--device", feature_flag)
+    run_cli(workdir, "preprocess", "--num-workers", "1", feature_flag)
+    cache_name = (
+        "preprocessed-power" if feature_flag == "--power" else "preprocessed"
+    )
+    for split in ("train", "dev", "test"):
+        host_files = sorted(
+            (workdir / "data" / cache_name / split).glob("*.npz")
+        )
+        dev_files = sorted(
+            (dev_root / "data" / cache_name / split).glob("*.npz")
+        )
+        assert [f.name for f in dev_files] == [f.name for f in host_files]
+        for hf, df in zip(host_files, dev_files):
+            h = np.load(hf)
+            d = np.load(df)
+            assert d["audio_fragments"].shape == h["audio_fragments"].shape
+            assert d["audio_fragments"].dtype == np.float32
+            np.testing.assert_allclose(
+                d["audio_fragments"], h["audio_fragments"],
+                atol=2e-2, rtol=1e-2,  # host/device DSP parity tolerance
+            )
+            np.testing.assert_array_equal(h["transcript"], d["transcript"])
+
+
 def test_train_two_steps(workdir):
     state = run_cli(
         workdir,

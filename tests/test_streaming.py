@@ -262,3 +262,50 @@ def test_greedy_collapse():
     assert ids == [0] and prev == B
     ids2, _ = greedy_collapse_carry(np.array([0, 1]), prev=0)
     assert ids2 == [1]  # leading repeat of the carried char collapses
+
+
+def test_partial_text_fused_with_lm(model_params, tmp_path):
+    """LM-fused partials: committed text is preserved verbatim (monotone
+    commit), the tentative tail is beam-decoded with the LM, and the
+    fused partial equals committed + continuation-beam-of-tail by
+    construction (native st_ctc_beam_search_cont)."""
+    from speecht_tpu import native
+    from tests.test_beam import ARPA
+
+    (tmp_path / "model.arpa").write_text(ARPA)
+    (tmp_path / "vocabulary").write_text("the\ncat\ndog\nsat\n")
+    lm = native.NGramLM(
+        str(tmp_path / "model.arpa"), str(tmp_path / "vocabulary")
+    )
+    model, params = model_params
+    sr = 16000
+    audio = speechlike_audio(1.5, sr, seed=3)
+    rec = StreamingRecognizer(model, params, sample_rate=sr)
+    for chunk in np.array_split(audio, 6):
+        rec.accept_chunk(chunk)
+
+    fused = rec.partial_text_fused(lm, lm_weight=1.0)
+    assert isinstance(fused, str)
+    committed = rec.committed_text()
+    assert fused.startswith(committed)
+
+    # cross-check against a hand-built continuation beam over the tail
+    tail = rec._logits[rec._frontier :]
+    shifted = tail - tail.max(-1, keepdims=True)
+    logp = shifted - np.log(np.exp(shifted).sum(-1, keepdims=True))
+    prev = rec._committed_prev
+    mid = prev not in (-1, vocabulary.BLANK_ID)
+    ids = native.ctc_beam_search_cont(
+        logp.astype(np.float32),
+        context_text=committed,
+        last_char_id=int(prev) if mid else -1,
+        ended_in_blank=not mid,
+        beam_width=32,
+        lm=lm,
+        lm_weight=1.0,
+        word_count_weight=0.0,
+        valid_word_count_weight=2.3,
+    )
+    assert fused == vocabulary.ids_to_sentence(
+        rec._committed_ids + [int(x) for x in ids]
+    )

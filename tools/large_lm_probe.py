@@ -1,0 +1,289 @@
+"""Production-scale LM probe for the fused on-device beam search.
+
+The reference's released LM (`kenlm-english`, reference README.md:92) is
+hundreds of MB; until round 3 every LM the device beam had run was ~10 MB.
+This probe synthesizes an LM at production scale and measures the full
+binary ingestion path end to end, on whatever JAX platform is active
+(run it on the real TPU):
+
+  1. synthesize an ``--ngrams``-entry ARPA (default 10M; 100k-word vocab,
+     orders 1-3) — sized like a pruned production English LM;
+  2. convert it with the native ARPA->PROBING writer (kenlm_binary.cpp);
+  3. build ``DeviceLM.from_binary`` HBM tables (raw-table dump + chained
+     KenLM hashes) — reports build time, HBM bytes, and whether
+     two-choice bucket placement engaged (it must at this scale:
+     single-choice cannot bound bucket loads past ~1M buckets);
+  4. time the fused device beam (W=100, top-k 8) on B64 x T128 emissions
+     with the LARGE LM vs a TINY LM through the identical compiled
+     program shape — the delta is the pure cost of LM-table scale
+     (bigger gathers, colder HBM rows).
+
+Usage: python tools/large_lm_probe.py [--ngrams 10000000] [--smoke]
+Prints one JSON line; PASS/FAIL on the functional checks.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+LETTERS = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+
+
+def gen_words(n: int, rng: np.random.RandomState) -> list[str]:
+    words = set()
+    while len(words) < n:
+        lens = rng.randint(3, 9, size=n)
+        for ln in lens:
+            words.add("".join(rng.choice(LETTERS, size=ln)))
+            if len(words) >= n:
+                break
+    return sorted(words)
+
+
+def unique_tuples(rng, nvocab: int, count: int, width: int) -> np.ndarray:
+    ids = rng.randint(0, nvocab, size=(int(count * 1.1), width)).astype(
+        np.uint64
+    )
+    packed = np.zeros(len(ids), np.uint64)
+    for c in range(width):
+        packed = packed * np.uint64(nvocab) + ids[:, c]
+    _, keep = np.unique(packed, return_index=True)
+    return ids[np.sort(keep)][:count].astype(np.int64)
+
+
+def write_arpa(path: str, words: list[str], n_bi: int, n_tri: int, rng):
+    nvocab = len(words)
+    bi = unique_tuples(rng, nvocab, n_bi, 2)
+    tri = unique_tuples(rng, nvocab, n_tri, 3)
+    with open(path, "w") as f:
+        f.write("\\data\\\n")
+        f.write(f"ngram 1={nvocab + 3}\n")
+        f.write(f"ngram 2={len(bi)}\n")
+        f.write(f"ngram 3={len(tri)}\n\n")
+        f.write("\\1-grams:\n")
+        f.write("-3.5\t<unk>\n-2.0\t<s>\t-0.4\n-2.1\t</s>\n")
+        probs = -1.5 - 3.0 * rng.rand(nvocab)
+        backs = -0.1 - 0.4 * rng.rand(nvocab)
+        lines = [
+            f"{probs[i]:.4f}\t{words[i]}\t{backs[i]:.4f}"
+            for i in range(nvocab)
+        ]
+        f.write("\n".join(lines) + "\n\n")
+        f.write("\\2-grams:\n")
+        probs = -0.5 - 3.0 * rng.rand(len(bi))
+        backs = -0.1 - 0.3 * rng.rand(len(bi))
+        for lo in range(0, len(bi), 1 << 19):
+            hi = min(lo + (1 << 19), len(bi))
+            f.write(
+                "\n".join(
+                    f"{probs[i]:.4f}\t{words[bi[i, 0]]} {words[bi[i, 1]]}"
+                    f"\t{backs[i]:.4f}"
+                    for i in range(lo, hi)
+                )
+                + "\n"
+            )
+        f.write("\n\\3-grams:\n")
+        probs = -0.3 - 3.0 * rng.rand(len(tri))
+        for lo in range(0, len(tri), 1 << 19):
+            hi = min(lo + (1 << 19), len(tri))
+            f.write(
+                "\n".join(
+                    f"{probs[i]:.4f}\t{words[tri[i, 0]]}"
+                    f" {words[tri[i, 1]]} {words[tri[i, 2]]}"
+                    for i in range(lo, hi)
+                )
+                + "\n"
+            )
+        f.write("\n\\end\\\n")
+
+
+TINY_ARPA = """\\data\\
+ngram 1=7
+ngram 2=4
+
+\\1-grams:
+-1.0\t<unk>
+-0.5\t<s>\t-0.4
+-0.6\t</s>
+-0.9\tthe\t-0.3
+-1.2\tcat\t-0.2
+-1.4\tsat\t-0.25
+-1.6\tmat\t-0.1
+
+\\2-grams:
+-0.3\tthe cat\t-0.1
+-0.25\t<s> the\t-0.2
+-0.5\tcat sat\t-0.05
+-0.6\tsat mat
+
+\\end\\
+"""
+
+
+def beam_throughput(lm, label: str, iters: int = 8) -> float:
+    """utt/s of the fused device beam on B64 x T128 word-ish emissions."""
+    import jax.numpy as jnp
+
+    from speecht_tpu import vocabulary
+    from speecht_tpu.ops import beam_device
+
+    B, T = 64, 128
+    rng = np.random.RandomState(11)
+    favored = [0, 19, 2, 7, 4, 18, 12, 27, 28]
+    logits = (rng.randn(B, T, vocabulary.NUM_CLASSES) * 2.0).astype(
+        np.float32
+    )
+    logits[:, :, favored] += rng.rand(B, T, len(favored)).astype(
+        np.float32
+    ) * 4.0
+    logp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    lengths = np.full(B, T, np.int32)
+    fn = beam_device.make_device_beam_search(100, lm=lm, prune_top_k=8)
+    t0 = time.perf_counter()
+    ids, lens = fn(logp, lengths, 1.5, 0.5, 1.2)
+    np.asarray(ids)
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ids, lens = fn(
+            jnp.asarray(logp), jnp.asarray(lengths), 1.5, 0.5, 1.2
+        )
+    np.asarray(ids)  # sync (block_until_ready lies over the axon tunnel)
+    elapsed = time.perf_counter() - t0
+    utt_s = B * iters / elapsed
+    print(
+        f"{label}: {utt_s:.1f} utt/s (compile {compile_s:.1f}s, "
+        f"{iters} iters)",
+        flush=True,
+    )
+    return utt_s
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ngrams", type=int, default=10_000_000)
+    ap.add_argument("--vocab", type=int, default=100_000)
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny sizes, CPU-friendly functional check")
+    ap.add_argument("--keep", type=str, default=None,
+                    help="directory to keep the generated LM in (reused "
+                    "across runs if the binary already exists)")
+    args = ap.parse_args()
+    if args.smoke:
+        args.ngrams, args.vocab = 200_000, 5_000
+
+    from speecht_tpu import native, runtime
+
+    runtime.honor_platform_env()
+    runtime.enable_compilation_cache()
+    from speecht_tpu.ops import beam_device
+
+    workdir = args.keep or tempfile.mkdtemp(prefix="large_lm_")
+    os.makedirs(workdir, exist_ok=True)
+    binary = os.path.join(workdir, "kenlm-model.binary")
+    rng = np.random.RandomState(0)
+
+    if not os.path.exists(binary):
+        arpa = os.path.join(workdir, "model.arpa")
+        n_rest = max(args.ngrams - args.vocab - 3, 2)
+        print(
+            f"synthesizing ARPA: {args.vocab} unigrams + "
+            f"{n_rest // 2} bigrams + {n_rest - n_rest // 2} trigrams",
+            flush=True,
+        )
+        t0 = time.perf_counter()
+        words = gen_words(args.vocab, rng)
+        write_arpa(arpa, words, n_rest // 2, n_rest - n_rest // 2, rng)
+        print(f"ARPA written in {time.perf_counter() - t0:.1f}s "
+              f"({os.path.getsize(arpa) / 1e6:.0f} MB)", flush=True)
+        t0 = time.perf_counter()
+        native.lm_write_binary(arpa, binary)
+        convert_s = time.perf_counter() - t0
+        print(f"converted to PROBING binary in {convert_s:.1f}s "
+              f"({os.path.getsize(binary) / 1e6:.0f} MB)", flush=True)
+        os.remove(arpa)  # the binary is the artifact under test
+    else:
+        print(f"reusing {binary}", flush=True)
+
+    t0 = time.perf_counter()
+    lm = beam_device.DeviceLM.from_binary(binary)
+    build_s = time.perf_counter() - t0
+    hbm_mb = lm.hbm_bytes() / 1e6
+    arena_buckets = int(lm.tables["arena_k"].shape[0])
+    print(
+        f"DeviceLM.from_binary: {build_s:.1f}s, {hbm_mb:.0f} MB HBM "
+        f"({arena_buckets} arena buckets, arena two_choice="
+        f"{lm.arena_two_choice}, words two_choice={lm.words_two_choice})",
+        flush=True,
+    )
+
+    # functional spot-check: device scorer == host binary scorer on random
+    # contexts BEFORE paying for throughput runs
+    host = native.NGramLM(binary)
+    import itertools
+
+    import jax.numpy as jnp
+
+    wl, ns = beam_device._make_lm_fns(lm)
+    checked = bad = 0
+    sample_words = gen_words(40, np.random.RandomState(9))
+    H = lm.hist_len
+    for hw, w in itertools.product(
+        [(), (sample_words[0],), (sample_words[1], sample_words[2])],
+        sample_words[:10],
+    ):
+        toks = [lm.bos_id] if lm.bos_id >= 0 else []
+        for x in hw:
+            cids = beam_device._word_char_ids(x)
+            wh = beam_device._np_word_hash(np.array(cids, np.int64))
+            wid, _ = wl(jnp.asarray([wh[0]]), jnp.asarray([wh[1]]))
+            toks.append(int(wid[0]))
+        toks = toks[-H:]
+        hist = np.zeros(H, np.int32)
+        hist[H - len(toks):] = toks
+        cids = beam_device._word_char_ids(w)
+        wh = beam_device._np_word_hash(np.array(cids, np.int64))
+        wid, _ = wl(jnp.asarray([wh[0]]), jnp.asarray([wh[1]]))
+        got = float(
+            ns(jnp.asarray(hist)[None], jnp.asarray([len(toks)]), wid)[0]
+        )
+        want = host.score_word(" ".join(hw), w)
+        checked += 1
+        if abs(got - want) > 1e-4:
+            bad += 1
+            print(f"MISMATCH {hw} {w}: dev {got} host {want}")
+    print(f"scorer spot-check: {checked - bad}/{checked} match", flush=True)
+
+    large_utt_s = beam_throughput(lm, f"device beam, {args.ngrams} n-grams")
+    tiny_path = os.path.join(workdir, "tiny.arpa")
+    with open(tiny_path, "w") as f:
+        f.write(TINY_ARPA)
+    tiny = beam_device.DeviceLM(tiny_path)
+    tiny_utt_s = beam_throughput(tiny, "device beam, tiny LM")
+
+    ok = bad == 0
+    print(json.dumps({
+        "ngrams": args.ngrams,
+        "binary_mb": round(os.path.getsize(binary) / 1e6, 1),
+        "device_lm_build_s": round(build_s, 1),
+        "hbm_mb": round(hbm_mb, 1),
+        "arena_two_choice": lm.arena_two_choice,
+        "beam_utt_per_sec_large_lm": round(large_utt_s, 1),
+        "beam_utt_per_sec_tiny_lm": round(tiny_utt_s, 1),
+        "scorer_ok": ok,
+    }))
+    print("PASS large LM probe" if ok else "FAIL large LM probe")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -38,22 +38,17 @@ def main():
     args = ap.parse_args()
 
     runtime.enable_compilation_cache()
+    from speecht_tpu import native, vocabulary
     from speecht_tpu.ops import beam_device
-    from speecht_tpu.ops.beam import find_arpa_file
-    from speecht_tpu import vocabulary
+    from speecht_tpu.ops.beam import find_lm_files
 
     lm = None
     if args.lm_dir and not args.rescore:
-        arpa = find_arpa_file(args.lm_dir)
-        if arpa is None:
-            raise SystemExit(
-                f"no .arpa in {args.lm_dir} (the fused device beam needs "
-                "the ARPA source; --rescore does not)"
-            )
-        vocab = os.path.join(args.lm_dir, "vocabulary")
-        lm = beam_device.DeviceLM(
-            arpa, vocab if os.path.exists(vocab) else None
-        )
+        model_path, vocab = find_lm_files(args.lm_dir)
+        if native.lm_is_binary(model_path):
+            lm = beam_device.DeviceLM.from_binary(model_path, vocab)
+        else:
+            lm = beam_device.DeviceLM(model_path, vocab)
 
     fn = beam_device.make_device_beam_search(
         args.beam_width,
