@@ -233,8 +233,11 @@ def test_evaluate_device_beam_rescore(workdir, capsys):
     capsys.readouterr()
 
 
-def test_device_beam_requires_arpa(workdir):
-    """A binary-only LM directory fails fast with a pointer to the ARPA."""
+def test_device_beam_accepts_binary_only_bundle(workdir, capsys):
+    """A binary-only LM directory (the released bundle layout) feeds the
+    fused device beam directly — DeviceLM.from_binary builds the HBM
+    tables from the PROBING binary's raw hash tables; the decode must
+    equal the ARPA-fed device beam's."""
     from speecht_tpu import native
 
     arpa_dir = _write_lm(workdir)
@@ -243,12 +246,28 @@ def test_device_beam_requires_arpa(workdir):
     native.lm_write_binary(
         str(arpa_dir / "model.arpa"), str(bundle / "kenlm-model.binary")
     )
-    with pytest.raises(FileNotFoundError, match="ARPA"):
-        run_cli(
-            workdir,
-            "evaluate", "--test", "--step-count", "1", "--no-save",
-            "--language-model", str(bundle), "--device-beam",
-        )
+    run_cli(
+        workdir,
+        "evaluate", "--test", "--step-count", "1", "--no-save",
+        "--language-model", str(bundle), "--device-beam",
+        "--beam-width", "16",
+    )
+    out_binary = capsys.readouterr().out
+    run_cli(
+        workdir,
+        "evaluate", "--test", "--step-count", "1", "--no-save",
+        "--language-model", str(arpa_dir), "--device-beam",
+        "--beam-width", "16",
+    )
+    out_arpa = capsys.readouterr().out
+
+    def decoded_lines(text):
+        return [
+            line for line in text.splitlines() if line.startswith("decoded:")
+        ]
+
+    assert decoded_lines(out_binary) == decoded_lines(out_arpa)
+    assert decoded_lines(out_binary)
 
 
 def test_evaluate_with_kenlm_binary_bundle(workdir, capsys):
