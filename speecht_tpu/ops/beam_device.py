@@ -640,17 +640,18 @@ class DeviceLM:
 def _make_lm_fns(lm: DeviceLM | None):
     """Builds (word_lookup, ngram_score) closures over the LM tables.
 
-    word_lookup(wh1, wh2) -> (wid [.] int32, valid [.] f32)
-    ngram_score(hist [., H] int32, hcnt [.], wid [.]) -> log10 prob [.]
+    word_lookup(wh1, wh2, t=None) -> (wid [.] int32, valid [.] f32)
+    ngram_score(hist [., H] int32, hcnt [.], wid [.], t=None) -> log10 prob
     Both are pure table gathers — safe to call every frame and mask.
+    ``t`` is the tables pytree; omitted, the LM's own tables bind (eager
+    use only — jitted callers must thread tables as arguments).
     """
     if lm is None:
         return None, None
-    t = lm.tables
     H = lm.hist_len
     unk_id = lm.unk_id
     unk_floor = jnp.float32(lm.unk_floor)
-    nuni = t["uni"].shape[0]
+    nuni = lm.tables["uni"].shape[0]
     # ARPA tables are keyed by this module's FNV-style dual hash; binary
     # tables carry KenLM's own chained 64-bit keys (recomputed on device)
     window_hash = (
@@ -662,7 +663,15 @@ def _make_lm_fns(lm: DeviceLM | None):
     arena_2c = bool(getattr(lm, "arena_two_choice", False))
     words_2c = bool(getattr(lm, "words_two_choice", False))
 
-    def word_lookup(wh1, wh2):
+    # The tables are threaded per call (``t=``) so jitted callers can pass
+    # them as ARGUMENTS: closed-over device arrays lower into the module
+    # as literal constants, and at production LM scale (hundreds of MB)
+    # that bloats every compiled program and breaks remote-compile
+    # transports outright (observed: HTTP 413 from the compile tunnel at
+    # 542 MB of tables). Eager callers (tests, probes) may omit ``t``.
+
+    def word_lookup(wh1, wh2, t=None):
+        t = lm.tables if t is None else t
         found, v = _probe(
             t["words_k"], t["words_v"], wh1, wh2, two_choice=words_2c
         )
@@ -670,14 +679,14 @@ def _make_lm_fns(lm: DeviceLM | None):
         valid = jnp.where(found, v[..., 1], 0).astype(jnp.float32)
         return wid, valid
 
-    def uni_lookup(wid):
+    def uni_lookup(wid, t):
         inb = (wid >= 0) & (wid < nuni)
         safe = jnp.clip(wid, 0, nuni - 1)
         row = t["uni"][safe]  # [., 3]
         found = inb & (row[..., 2] > 0)
         return found, _as_f32(row[..., 0]), _as_f32(row[..., 1])
 
-    def ngram_score(hist, hcnt, wid):
+    def ngram_score(hist, hcnt, wid, t=None):
         """log10 P(wid | hist) with Katz backoff — the host score() twin.
 
         ``hist`` [., H] holds the most recent tokens LAST (<s> included);
@@ -685,6 +694,7 @@ def _make_lm_fns(lm: DeviceLM | None):
         with per-row applicability masks, so varying context lengths
         batch; ALL bucket keys of the walk go through one arena gather.
         """
+        t = lm.tables if t is None else t
         tok = jnp.concatenate([hist, wid[..., None]], axis=-1)  # [., H+1]
         ctx = jnp.minimum(hcnt, H)
 
@@ -711,7 +721,7 @@ def _make_lm_fns(lm: DeviceLM | None):
         def level(n):
             """(found, prob, backoff) of the n-gram ending at the word."""
             if n == 1:
-                return uni_lookup(tok[..., H])
+                return uni_lookup(tok[..., H], t)
             i = (H + 1) - n  # position in `windows`
             return (
                 found_l[..., i],
@@ -722,7 +732,7 @@ def _make_lm_fns(lm: DeviceLM | None):
         def blevel(n):
             """(found, backoff) of the length-n context before the word."""
             if n == 1:
-                f, _, b = uni_lookup(tok[..., H - 1])
+                f, _, b = uni_lookup(tok[..., H - 1], t)
                 return f, b
             i = len(windows) + (H + 1) - (n + 1)  # position in `bwindows`
             return found_l[..., i], back_l[..., i]
@@ -794,23 +804,25 @@ def make_device_beam_search(
     pin_bos = H == 5 and bos_id >= 0
     hcnt_cap = H if bos_id >= 0 else min(H, 4)
 
-    def _space_bonus(wh1, wh2, wlen, hist, hcnt, lm_w, wc_w, vwc_w):
+    def _space_bonus(tbl, wh1, wh2, wlen, hist, hcnt, lm_w, wc_w, vwc_w):
         """Shallow-fusion bonus for completing the current partial word.
 
         Returns (bonus [.], wid [.]) — ``wid`` feeds the history update.
-        Only meaningful where ``wlen > 0``; callers mask.
+        Only meaningful where ``wlen > 0``; callers mask. ``t`` is the LM
+        tables pytree, threaded through the jit as an argument (NOT a
+        closure — see _make_lm_fns).
         """
         if lm is None:
             return (
                 jnp.where(wlen > 0, wc_w, 0.0),
                 jnp.zeros_like(wlen),
             )
-        wid, valid = word_lookup(wh1, wh2)
-        sc = ngram_score(hist, hcnt, wid)
+        wid, valid = word_lookup(wh1, wh2, tbl)
+        sc = ngram_score(hist, hcnt, wid, tbl)
         bonus = wc_w + vwc_w * valid + lm_w * jnp.float32(_LN10) * sc
         return jnp.where(wlen > 0, bonus, 0.0), wid
 
-    def _one_row(logp, length, lm_w, wc_w, vwc_w):
+    def _one_row(tbl, logp, length, lm_w, wc_w, vwc_w):
         T, C = logp.shape
         K = prune_top_k if 0 < prune_top_k < C else C
 
@@ -863,7 +875,7 @@ def make_device_beam_search(
 
             # fusion bonus of completing this beam's partial word [W]
             bonus, wid = _space_bonus(
-                wh1, wh2, wlen, hist, hcnt, lm_w, wc_w, vwc_w
+                tbl, wh1, wh2, wlen, hist, hcnt, lm_w, wc_w, vwc_w
             )
             ext_lm = lm_sc[:, None] + jnp.where(
                 (topi[None, :] == _SPACE) & (wlen[:, None] > 0),
@@ -995,6 +1007,7 @@ def make_device_beam_search(
         # final ranking: the trailing partial word also scores as a word
         # (host beam_search.cpp sentence-end handling)
         fbonus, _ = _space_bonus(
+            tbl,
             U[:, _U_WH1],
             U[:, _U_WH2],
             I[:, _I_WLEN],
@@ -1032,13 +1045,25 @@ def make_device_beam_search(
         return ids_n, len_n, scores
 
     @jax.jit
-    def beam_search(logp, lengths, lm_weight, word_count_weight,
+    def beam_search(tables, logp, lengths, lm_weight, word_count_weight,
                     valid_word_count_weight):
         lm_w = jnp.float32(lm_weight)
         wc_w = jnp.float32(word_count_weight)
         vwc_w = jnp.float32(valid_word_count_weight)
         return jax.vmap(
-            lambda row, n: _one_row(row, n, lm_w, wc_w, vwc_w)
+            lambda row, n: _one_row(tables, row, n, lm_w, wc_w, vwc_w)
         )(logp, lengths)
 
-    return beam_search
+    # the tables ride as jit ARGUMENTS (device-resident, zero per-call
+    # transfer) — never as closure constants, which would embed hundreds
+    # of MB of LM into the lowered module at production scale
+    tables = lm.tables if lm is not None else {}
+
+    def fn(logp, lengths, lm_weight, word_count_weight,
+           valid_word_count_weight):
+        return beam_search(tables, logp, lengths, lm_weight,
+                           word_count_weight, valid_word_count_weight)
+
+    fn._jitted = beam_search  # exposed for lowering-size regression tests
+    fn._tables = tables
+    return fn

@@ -814,3 +814,57 @@ class TestKeyHashing:
         np.testing.assert_array_equal(
             np.asarray(beam_device._as_f32(v[..., 0])), vals[idx]
         )
+
+
+def test_lm_tables_lower_as_arguments_not_constants():
+    """The LM tables must ride the compiled program as PARAMETERS, never
+    as embedded literal constants: a production LM is hundreds of MB, and
+    constant-embedding bloats every lowered module (observed breaking the
+    remote-compile transport with HTTP 413 at 542 MB of tables). Builds a
+    synthetic multi-MB table set and asserts the lowered module text stays
+    small."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    n = 200_000
+    raw = np.unique(
+        rng.randint(0, 1 << 62, size=n, dtype=np.int64).astype(np.uint64)
+    )
+    k1 = (raw & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    k2 = (raw >> np.uint64(32)).astype(np.uint32)
+    prob = -rng.rand(len(k1)).astype(np.float32)
+    back = -rng.rand(len(k1)).astype(np.float32)
+    ak, av, a2c = beam_device._build_bucket_table(k1, k2, [prob, back])
+
+    lm = beam_device.DeviceLM.__new__(beam_device.DeviceLM)
+    lm.order, lm.hist_len = 3, 2
+    lm.key_scheme = "fnv"
+    lm.unk_id, lm.bos_id, lm.unk_floor = 0, 1, -10.0
+    lm.arena_two_choice, lm.words_two_choice = a2c, False
+    uni = np.zeros((1000, 3), np.int32)
+    uni[:, 2] = 1
+    wk, wv, w2c = beam_device._build_bucket_table(
+        np.arange(1, 101, dtype=np.uint32),
+        np.arange(101, 201, dtype=np.uint32),
+        [np.arange(100, dtype=np.int32), np.ones(100, np.int32)],
+    )
+    lm.tables = {
+        "uni": jnp.asarray(uni),
+        "arena_k": jnp.asarray(ak),
+        "arena_v": jnp.asarray(av),
+        "words_k": jnp.asarray(wk),
+        "words_v": jnp.asarray(wv),
+    }
+    table_bytes = sum(int(t.size) * 4 for t in lm.tables.values())
+    assert table_bytes > 8_000_000  # the canary is only meaningful at MBs
+
+    fn = beam_device.make_device_beam_search(8, lm=lm)
+    logp = _logp(np.random.RandomState(1), 2, 12)
+    lowered = fn._jitted.lower(
+        fn._tables, logp, np.array([12, 12], np.int32), 0.5, 0.5, 0.5
+    )
+    text_len = len(lowered.as_text())
+    assert text_len < 4_000_000, (
+        f"lowered module is {text_len} bytes for {table_bytes}-byte "
+        "tables -- tables are being embedded as constants again"
+    )
