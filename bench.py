@@ -425,9 +425,31 @@ def bench_streaming(model, params):
         times.append(time.perf_counter() - start)
     p50 = float(np.median(times)) * 1000.0
     p95 = float(np.percentile(times, 95)) * 1000.0
+
+    # LM-fused partials: per-chunk delta of the continuation beam over
+    # the tentative tail (`record --streaming --language-model`;
+    # ops/streaming.py partial_text_fused)
+    import tempfile
+
+    from speecht_tpu import native
+
+    with tempfile.TemporaryDirectory() as lm_dir:
+        arpa = os.path.join(lm_dir, "model.arpa")
+        with open(arpa, "w") as f:
+            f.write(_TINY_ARPA)
+        lm = native.NGramLM(arpa)
+        fused_times = []
+        for c in chunks[10 if _SMOKE else 35 : 15 if _SMOKE else 55]:
+            rec.accept_chunk(c)
+            start = time.perf_counter()
+            rec.partial_text_fused(lm, lm_weight=0.8)
+            fused_times.append(time.perf_counter() - start)
+    fused_p50 = float(np.median(fused_times)) * 1000.0
+
     return {
         "ms_per_chunk_p50": round(p50, 2),
         "ms_per_chunk_p95": round(p95, 2),
+        "lm_partial_extra_ms_p50": round(fused_p50, 2),
         "chunk_audio_ms": 1000.0 * chunk / sr,
         "real_time_factor": round((1000.0 * chunk / sr) / p50, 2),
     }

@@ -117,20 +117,38 @@ class _Conv1d(nn.Module):
                 )
         # conv in compute_dtype (MXU accumulates f32 internally); no
         # preferred_element_type upcast — its transpose rule would mix f32
-        # cotangents with bf16 kernels. Alternative lowerings for the
-        # stride-2 first layer (phase-reshape to stride-1, channel padding
-        # to lane multiples) were measured on the v5e and did NOT beat this
-        # — see docs/kernels.md "round-2 profiling".
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.compute_dtype),
-            kernel.astype(self.compute_dtype),
-            window_strides=(self.stride,),
-            padding="SAME",
-            dimension_numbers=("NWC", "WIO", "NWC"),
-        )
-        y = y + bias.astype(self.compute_dtype)
-        if self.relu:
-            y = jnp.maximum(y, 0.0)
+        # cotangents with bf16 kernels. A fused Pallas phase-matmul kernel
+        # for the stride-2 first layer exists (ops/conv0_pallas.py) but is
+        # OPT-IN (SPEECHT_PALLAS_CONV0=1): isolated it beats XLA's strided
+        # lowering, in-model it measured 0.3-0.7 ms SLOWER at B64xT1024 on
+        # the v5e (the phase relayout + fusion barrier outweigh the MXU
+        # win) — docs/kernels.md round-3. Every other layer already runs
+        # at 78-90% MFU under plain XLA.
+        import os as _os
+
+        from speecht_tpu.ops import conv0_pallas
+
+        if _os.environ.get(
+            "SPEECHT_PALLAS_CONV0"
+        ) == "1" and conv0_pallas.supported(
+            x.shape, self.width, self.stride, self.relu
+        ):
+            y = conv0_pallas.conv0_fused(
+                x.astype(self.compute_dtype),
+                kernel.astype(self.compute_dtype),
+                bias.astype(self.compute_dtype),
+            )
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.compute_dtype),
+                kernel.astype(self.compute_dtype),
+                window_strides=(self.stride,),
+                padding="SAME",
+                dimension_numbers=("NWC", "WIO", "NWC"),
+            )
+            y = y + bias.astype(self.compute_dtype)
+            if self.relu:
+                y = jnp.maximum(y, 0.0)
         y = y.astype(self.compute_dtype)
         # DP on batch always; TP on channels for the wide layers — GSPMD
         # propagates the channel sharding back into the conv kernel.
