@@ -395,9 +395,33 @@ def bench_preprocess_device():
         reader.store_samples("bulk", F.FEATURE_FUNCTIONS["power"],
                              num_workers=1)
         host_s = time.perf_counter() - start
+
+        # the DSP compute ceiling with device-resident audio: on this dev
+        # host the end-to-end device path is bound by the ~44 MB/s tunnel
+        # (docs/kernels.md); production hosts feed chips over PCIe, so
+        # the resident-data rate is the design-relevant number
+        import jax
+        import jax.numpy as jnp
+
+        from speecht_tpu.data import features_tpu as FT
+
+        Bp, S = 16, 163840 // (8 if _SMOKE else 1)
+        audio = jax.device_put(
+            jnp.zeros((Bp, S), jnp.float32)
+        )
+        counts = jax.device_put(jnp.full(Bp, S - 100, jnp.int32))
+        feats, _ = FT.batch_power_spectrogram(audio, counts)
+        np.asarray(feats)  # compile + sync
+        iters = 3 if _SMOKE else 12
+        start = time.perf_counter()
+        for _ in range(iters):
+            feats, _ = FT.batch_power_spectrogram(audio, counts)
+        np.asarray(feats)
+        compute_s = (time.perf_counter() - start) / iters
         return {
             "utt_per_sec_device": round(n / device_s, 2),
             "utt_per_sec_host_1core": round(n / host_s, 2),
+            "utt_per_sec_device_compute": round(Bp / compute_s, 2),
             "speedup": round(host_s / device_s, 2),
             "n_files": n_files,
             "audio_seconds_per_utt": 5.2,

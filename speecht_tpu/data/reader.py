@@ -71,6 +71,11 @@ def _transform_and_store(args) -> str | None:
         return f"{audio_file}: {type(e).__name__}: {e}"
 
 
+# buckets already announced as compiling by store_samples_device — the jit
+# cache is process-global, so the announcement dedupe must be too
+_DEVICE_PREPROCESS_ANNOUNCED: set[tuple[int, int]] = set()
+
+
 class SpeechCorpusReader:
     """Reads raw + preprocessed speech corpus files under ``data_directory``."""
 
@@ -182,6 +187,7 @@ class SpeechCorpusReader:
         batch_size: int = 16,
         sample_bucket: int = 160 * 512,
         sample_rate: int = 22050,
+        transfer_dtype: str = "bfloat16",
     ) -> int:
         """Device-batched preprocess: decode on host, featurize on TPU.
 
@@ -193,10 +199,18 @@ class SpeechCorpusReader:
         ``mfcc``) — runs as one jitted batch program per bucket
         (data/features_tpu.py, host-parity-tested against
         data/features.py). The npz cache layout is identical to the host
-        path, so caches mix freely. On a small host the serial librosa-
-        definition DSP is the preprocess bottleneck (reference
-        preprocessing.py:229-241 throws a process Pool at it); the chip
-        does the math instead.
+        path, so caches mix freely.
+
+        Wire format (matters on a narrow host<->device link, where the
+        transfer, not the DSP, is the bound): audio uploads as int16
+        (x32768 — its -96 dB quantization floor sits below the top_db=80
+        dB cutoff, so features are unaffected; bf16 audio was measured to
+        corrupt low-energy mel bins through its -48 dB noise floor) and
+        features download as bf16 (<=0.008 absolute on unit-variance
+        normalized features; the cache still stores float32). Device
+        dispatch of batch N overlaps the host decode of batch N+1 (the
+        fetch of N's features is deferred until the next flush).
+        ``transfer_dtype="float32"`` restores the full-precision wire.
 
         Returns the number of stored utterances.
         """
@@ -208,6 +222,9 @@ class SpeechCorpusReader:
             feature_fn = FT.batch_mfccs
         else:
             raise ValueError("Feature type must be mfcc or power.")
+        import jax.numpy as jnp
+
+        compact_wire = transfer_dtype == "bfloat16"
         out_directory = self._get_directory(feature_type, directory)
         os.makedirs(out_directory, exist_ok=True)
         audio_files = list(
@@ -216,16 +233,22 @@ class SpeechCorpusReader:
             )
         )
         transcript_dict = self._transcript_dict
+        # process-global like the jit cache itself: preprocessing a second
+        # set in the same run must not re-announce a warm bucket
+        compiled_shapes = _DEVICE_PREPROCESS_ANNOUNCED
 
-        def flush(n_buckets: int, items: list) -> None:
-            S = n_buckets * sample_bucket
-            audio = np.zeros((batch_size, S), np.float32)
-            counts = np.zeros(batch_size, np.int32)
-            for i, (_aid, a) in enumerate(items):
-                audio[i, : len(a)] = a
-                counts[i] = len(a)
-            feats, frame_lengths = feature_fn(audio, counts)
-            feats = np.asarray(feats, np.float32)
+        def wire_fn(audio, counts):
+            if compact_wire:  # int16 -> float in [-1, 1)
+                audio = audio.astype(jnp.float32) / 32768.0
+            feats, frame_lengths = feature_fn(
+                audio.astype(jnp.float32), counts
+            )
+            if compact_wire:
+                feats = feats.astype(jnp.bfloat16)
+            return feats, frame_lengths
+
+        def finalize(items, feats, frame_lengths) -> None:
+            feats = np.asarray(feats).astype(np.float32)
             frame_lengths = np.asarray(frame_lengths)
             for i, (aid, _a) in enumerate(items):
                 np.savez(
@@ -235,6 +258,37 @@ class SpeechCorpusReader:
                         transcript_dict[aid], dtype=np.int64
                     ),
                 )
+
+        in_flight: list = []  # [(items, feats, frame_lengths)] len <= 1
+
+        def flush(n_buckets: int, items: list) -> None:
+            S = n_buckets * sample_bucket
+            audio = np.zeros((batch_size, S), np.float32)
+            counts = np.zeros(batch_size, np.int32)
+            for i, (_aid, a) in enumerate(items):
+                audio[i, : len(a)] = a
+                counts[i] = len(a)
+            shape = (batch_size, S)
+            if shape not in compiled_shapes:
+                compiled_shapes.add(shape)
+                print(
+                    f"preprocess --device: bucket B{batch_size}x{S} "
+                    "samples first use -- compiling (cached for later "
+                    "runs)",
+                    flush=True,
+                )
+            if compact_wire:
+                audio = np.clip(
+                    np.round(audio * 32768.0), -32768, 32767
+                ).astype(np.int16)
+            feats, frame_lengths = wire_fn(
+                jnp.asarray(audio), jnp.asarray(counts)
+            )
+            # defer the (transfer-bound) fetch: the device works on this
+            # batch while the host decodes the next one
+            in_flight.append((items, feats, frame_lengths))
+            if len(in_flight) > 1:
+                finalize(*in_flight.pop(0))
 
         pending: dict[int, list] = {}
         for audio_file in audio_files:
@@ -248,6 +302,8 @@ class SpeechCorpusReader:
                 flush(n_buckets, pending.pop(n_buckets))
         for n_buckets, items in sorted(pending.items()):
             flush(n_buckets, items)
+        while in_flight:
+            finalize(*in_flight.pop(0))
         return len(audio_files)
 
     def load_raw_samples(
