@@ -73,7 +73,7 @@ def _transform_and_store(args) -> str | None:
 
 # buckets already announced as compiling by store_samples_device — the jit
 # cache is process-global, so the announcement dedupe must be too
-_DEVICE_PREPROCESS_ANNOUNCED: set[tuple[int, int]] = set()
+_DEVICE_PREPROCESS_ANNOUNCED: set[tuple[str, int, int]] = set()
 
 
 class SpeechCorpusReader:
@@ -247,17 +247,26 @@ class SpeechCorpusReader:
                 feats = feats.astype(jnp.bfloat16)
             return feats, frame_lengths
 
+        # per-file failures must not abort the run mid-stream: like the
+        # host path (store_samples / reference preprocessing.py:208-210),
+        # errors are collected, the rest of the corpus completes, and one
+        # summary exception is raised at the end
+        errors: list[str] = []
+
         def finalize(items, feats, frame_lengths) -> None:
             feats = np.asarray(feats).astype(np.float32)
             frame_lengths = np.asarray(frame_lengths)
             for i, (aid, _a) in enumerate(items):
-                np.savez(
-                    os.path.join(out_directory, aid),
-                    audio_fragments=feats[i, : frame_lengths[i]],
-                    transcript=np.asarray(
-                        transcript_dict[aid], dtype=np.int64
-                    ),
-                )
+                try:
+                    np.savez(
+                        os.path.join(out_directory, aid),
+                        audio_fragments=feats[i, : frame_lengths[i]],
+                        transcript=np.asarray(
+                            transcript_dict[aid], dtype=np.int64
+                        ),
+                    )
+                except Exception as e:
+                    errors.append(f"{aid}: {e!r}")
 
         in_flight: list = []  # [(items, feats, frame_lengths)] len <= 1
 
@@ -268,7 +277,10 @@ class SpeechCorpusReader:
             for i, (_aid, a) in enumerate(items):
                 audio[i, : len(a)] = a
                 counts[i] = len(a)
-            shape = (batch_size, S)
+            # the jitted program is per (feature fn, shape) — both must be
+            # in the dedupe key or a later mfcc pass after a power pass
+            # would cold-compile silently
+            shape = (feature_type, batch_size, S)
             if shape not in compiled_shapes:
                 compiled_shapes.add(shape)
                 print(
@@ -291,11 +303,20 @@ class SpeechCorpusReader:
                 finalize(*in_flight.pop(0))
 
         pending: dict[int, list] = {}
+        stored = 0
         for audio_file in audio_files:
             from speecht_tpu import native
 
-            audio, _sr = native.load_audio(audio_file, sr=sample_rate)
             aid = os.path.splitext(os.path.basename(audio_file))[0]
+            if aid not in transcript_dict:
+                errors.append(f"{audio_file}: no transcript entry")
+                continue
+            try:
+                audio, _sr = native.load_audio(audio_file, sr=sample_rate)
+            except Exception as e:
+                errors.append(f"{audio_file}: {e!r}")
+                continue
+            stored += 1
             n_buckets = max(1, -(-len(audio) // sample_bucket))
             pending.setdefault(n_buckets, []).append((aid, audio))
             if len(pending[n_buckets]) == batch_size:
@@ -304,7 +325,12 @@ class SpeechCorpusReader:
             flush(n_buckets, items)
         while in_flight:
             finalize(*in_flight.pop(0))
-        return len(audio_files)
+        if errors:
+            raise RuntimeError(
+                "An error occurred during preprocessing:\n"
+                + "\n".join(errors[:10])
+            )
+        return stored
 
     def load_raw_samples(
         self,

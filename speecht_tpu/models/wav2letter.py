@@ -126,13 +126,16 @@ class _Conv1d(nn.Module):
         # at 78-90% MFU under plain XLA.
         import os as _os
 
-        from speecht_tpu.ops import conv0_pallas
+        use_pallas_conv0 = False
+        if _os.environ.get("SPEECHT_PALLAS_CONV0") == "1":
+            # import only behind the opt-in: the default lax path must not
+            # inherit pallas's import cost or platform requirements
+            from speecht_tpu.ops import conv0_pallas
 
-        if _os.environ.get(
-            "SPEECHT_PALLAS_CONV0"
-        ) == "1" and conv0_pallas.supported(
-            x.shape, self.width, self.stride, self.relu
-        ):
+            use_pallas_conv0 = conv0_pallas.supported(
+                x.shape, self.width, self.stride, self.relu
+            )
+        if use_pallas_conv0:
             y = conv0_pallas.conv0_fused(
                 x.astype(self.compute_dtype),
                 kernel.astype(self.compute_dtype),

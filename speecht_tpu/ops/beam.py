@@ -130,35 +130,47 @@ class BeamSearchDecoder:
                 budget_gb = float(
                     getattr(lm_config, "device_lm_hbm_gb", 8.0)
                 )
-                # cheap pre-check: device tables run ~2.2x a PROBING
-                # binary / ~1.2x an ARPA text. Catches LMs that would OOM
-                # the chip *during* the table build.
+                # cheap pre-check: device tables measured ~2.6x a PROBING
+                # binary (542 MB tables from a 211 MB binary,
+                # docs/kernels.md) / ~1.2x an ARPA text. Skips even
+                # *parsing* an LM that cannot fit.
                 fsize = os.path.getsize(model_path)
-                factor = 2.2 if native.lm_is_binary(model_path) else 1.2
+                factor = 2.6 if native.lm_is_binary(model_path) else 1.2
                 est_gb = fsize * factor / (1 << 30)
+                fallback = (
+                    "falling back to the host beam (use --rescore N "
+                    "for a device-accelerated path with large LMs)"
+                )
                 if est_gb > budget_gb:
                     print(
                         f"device LM tables would need ~{est_gb:.1f} GiB "
                         f"HBM (> --device-lm-hbm-gb {budget_gb:.1f}); "
-                        "falling back to the host beam (use --rescore N "
-                        "for a device-accelerated path with large LMs)"
+                        + fallback
                     )
                     device_beam = self.device_beam = False
                 else:
-                    if native.lm_is_binary(model_path):
-                        device_lm = beam_device.DeviceLM.from_binary(
-                            model_path, vocab
-                        )
-                    else:
-                        device_lm = beam_device.DeviceLM(model_path, vocab)
-                    gb = device_lm.hbm_bytes() / (1 << 30)
-                    if gb > budget_gb:  # exact post-build check
+                    # the exact check runs inside DeviceLM BEFORE any
+                    # device upload (beam_device._upload_tables), so an
+                    # LM the estimate missed degrades gracefully instead
+                    # of OOMing the chip mid-build
+                    budget_bytes = int(budget_gb * (1 << 30))
+                    try:
+                        if native.lm_is_binary(model_path):
+                            device_lm = beam_device.DeviceLM.from_binary(
+                                model_path, vocab,
+                                hbm_budget_bytes=budget_bytes,
+                            )
+                        else:
+                            device_lm = beam_device.DeviceLM(
+                                model_path, vocab,
+                                hbm_budget_bytes=budget_bytes,
+                            )
+                    except beam_device.DeviceLMBudgetError as e:
                         print(
-                            f"device LM tables need {gb:.1f} GiB HBM "
+                            f"device LM tables need "
+                            f"{e.bytes_needed / (1 << 30):.1f} GiB HBM "
                             f"(> --device-lm-hbm-gb {budget_gb:.1f}); "
-                            "falling back to the host beam (use "
-                            "--rescore N for a device-accelerated path "
-                            "with large LMs)"
+                            + fallback
                         )
                         device_lm = None
                         device_beam = self.device_beam = False

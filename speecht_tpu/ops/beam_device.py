@@ -495,6 +495,36 @@ def _assemble_arena(k1s, k2s, probs, backs):
     return _build_bucket_table(k1, k2, [prob, back])
 
 
+class DeviceLMBudgetError(Exception):
+    """LM tables exceed the HBM budget; raised BEFORE any device upload.
+
+    Carries ``bytes_needed`` so callers can print the exact figure when
+    falling back to the host beam."""
+
+    def __init__(self, bytes_needed: int, budget_bytes: int):
+        self.bytes_needed = bytes_needed
+        self.budget_bytes = budget_bytes
+        super().__init__(
+            f"device LM tables need {bytes_needed / (1 << 30):.2f} GiB "
+            f"HBM > budget {budget_bytes / (1 << 30):.2f} GiB"
+        )
+
+
+def _upload_tables(
+    np_tables: dict, hbm_budget_bytes: int | None
+) -> dict:
+    """Budget-check the assembled host arrays, then device-put them.
+
+    The check MUST precede the first ``jnp.asarray`` — a post-upload
+    check on a 16 GB part can OOM the chip during the build, which is
+    exactly the failure the budget flag exists to turn into a graceful
+    host-beam fallback."""
+    total = sum(int(a.size) * 4 for a in np_tables.values())
+    if hbm_budget_bytes is not None and total > hbm_budget_bytes:
+        raise DeviceLMBudgetError(total, hbm_budget_bytes)
+    return {k: jnp.asarray(v) for k, v in np_tables.items()}
+
+
 class DeviceLM:
     """Backoff n-gram LM compiled to device-resident hash tables.
 
@@ -517,7 +547,12 @@ class DeviceLM:
     """
 
     @classmethod
-    def from_binary(cls, binary_path: str, vocab_path: str | None = None):
+    def from_binary(
+        cls,
+        binary_path: str,
+        vocab_path: str | None = None,
+        hbm_budget_bytes: int | None = None,
+    ):
         from speecht_tpu import native
 
         d = native.kenlm_dump(binary_path)
@@ -548,8 +583,6 @@ class DeviceLM:
             ],
             axis=-1,
         )
-        tables = {"uni": jnp.asarray(uni)}
-
         k1s, k2s, probs, backs = [], [], [], []
         for n in range(2, order + 1):
             lo, hi, prob, back = d["tables"][n]
@@ -558,23 +591,33 @@ class DeviceLM:
             probs.append(prob)
             backs.append(back)
         ak, av, a2c = _assemble_arena(k1s, k2s, probs, backs)
-        tables["arena_k"] = jnp.asarray(ak)
-        tables["arena_v"] = jnp.asarray(av)
         self.arena_two_choice = a2c
 
         trie_words = _trie_words_from(vocab_path, word_ids)
         wk, wv, w2c = _build_word_tables(word_ids, trie_words, self.unk_id)
-        tables["words_k"] = jnp.asarray(wk)
-        tables["words_v"] = jnp.asarray(wv)
         self.words_two_choice = w2c
-        self.tables = tables
+        self.tables = _upload_tables(
+            {
+                "uni": uni,
+                "arena_k": ak,
+                "arena_v": av,
+                "words_k": wk,
+                "words_v": wv,
+            },
+            hbm_budget_bytes,
+        )
         return self
 
     def hbm_bytes(self) -> int:
         """Device memory the LM tables occupy (HBM-budget checks)."""
         return sum(int(t.size) * 4 for t in self.tables.values())
 
-    def __init__(self, arpa_path: str, vocab_path: str | None = None):
+    def __init__(
+        self,
+        arpa_path: str,
+        vocab_path: str | None = None,
+        hbm_budget_bytes: int | None = None,
+    ):
         self.key_scheme = "fnv"
         order, word_ids, entries = _parse_arpa(arpa_path)
         if order == 0:
@@ -610,8 +653,6 @@ class DeviceLM:
             ],
             axis=-1,
         )
-        tables = {"uni": jnp.asarray(uni)}
-
         # unified arena: ALL orders 2..order in one bucketed table (the
         # key hash is sequence-length-sensitive, so orders cannot collide
         # except by 64-bit accident) — one gather serves a whole backoff
@@ -625,16 +666,21 @@ class DeviceLM:
             probs.append(prob)
             backs.append(back)
         ak, av, a2c = _assemble_arena(k1s, k2s, probs, backs)
-        tables["arena_k"] = jnp.asarray(ak)
-        tables["arena_v"] = jnp.asarray(av)
         self.arena_two_choice = a2c
 
         trie_words = _trie_words_from(vocab_path, word_ids)
         wk, wv, w2c = _build_word_tables(word_ids, trie_words, self.unk_id)
-        tables["words_k"] = jnp.asarray(wk)
-        tables["words_v"] = jnp.asarray(wv)
         self.words_two_choice = w2c
-        self.tables = tables
+        self.tables = _upload_tables(
+            {
+                "uni": uni,
+                "arena_k": ak,
+                "arena_v": av,
+                "words_k": wk,
+                "words_v": wv,
+            },
+            hbm_budget_bytes,
+        )
 
 
 def _make_lm_fns(lm: DeviceLM | None):

@@ -7,6 +7,7 @@ backoff scoring, vocabulary trie, and shallow-fusion weight effects
 """
 
 import itertools
+import os
 
 import numpy as np
 import pytest
@@ -711,6 +712,48 @@ class TestDeviceBeamBinaryBundle:
             word_count_weight=0.5, valid_word_count_weight=2.0,
         )
         assert list(ids[0, : lens[0]]) == [int(x) for x in ref]
+
+    def test_hbm_budget_exact_check_trips_before_upload(
+        self, tmp_path, capsys, monkeypatch
+    ):
+        """A budget the file-size estimate accepts but the assembled
+        tables exceed must still fall back gracefully — via
+        DeviceLMBudgetError raised BEFORE any device upload (the
+        estimate-vs-reality gap used to OOM the chip mid-build). The
+        estimate is forced optimistic by shrinking the reported file
+        size, the way a dense production binary undershoots the 2.6x
+        factor."""
+        bundle = self._bundle_dir(tmp_path)
+        from speecht_tpu.ops import beam_device
+
+        # exact check, direct: budget one byte under the true table size
+        table_bytes = beam_device.DeviceLM.from_binary(
+            str(bundle / "kenlm-model.binary"),
+            str(bundle / "vocabulary"),
+        ).hbm_bytes()
+        with pytest.raises(beam_device.DeviceLMBudgetError) as ei:
+            beam_device.DeviceLM.from_binary(
+                str(bundle / "kenlm-model.binary"),
+                str(bundle / "vocabulary"),
+                hbm_budget_bytes=table_bytes - 1,
+            )
+        assert ei.value.bytes_needed == table_bytes
+
+        # decoder path: estimate passes (file size reported as 1 byte),
+        # exact pre-upload check trips, host beam takes over
+        real_getsize = os.path.getsize
+        monkeypatch.setattr(
+            os.path, "getsize",
+            lambda p: 1 if str(p).endswith(".binary")
+            else real_getsize(p),
+        )
+        beam = _tiny_decoder(
+            bundle, beam_width=8, device_beam=True,
+            device_lm_hbm_gb=(table_bytes - 1) / (1 << 30),
+        )
+        out = capsys.readouterr().out
+        assert "falling back to the host beam" in out
+        assert not beam.device_beam and beam.lm is not None
 
 
 class TestContinuationBeam:

@@ -108,3 +108,28 @@ def test_load_samples_loop_infinitely(data_dir):
     a = next(gen)
     b = next(gen)  # would StopIteration without looping
     np.testing.assert_array_equal(a[1], b[1])
+
+
+def test_store_samples_device_collects_per_file_errors(data_dir):
+    """Parity with the host path's error handling (reference
+    preprocessing.py:208-210 error callback): a corrupt flac and a flac
+    with no transcript entry must not abort `preprocess --device`
+    mid-stream — the good files complete and one summary error names
+    the bad ones."""
+    train = os.path.join(data_dir, "train")
+    with open(os.path.join(train, "9999-0000-0000.flac"), "wb") as f:
+        f.write(b"fLaC garbage that is not a real stream")
+    # valid audio, but its id appears in no trans.txt
+    shutil.copy(
+        os.path.join(FIXTURE_DIR, "train", FIXTURE_ID + ".flac"),
+        os.path.join(train, "7777-0000-0000.flac"),
+    )
+    reader = SpeechCorpusReader(data_dir)
+    with pytest.raises(RuntimeError) as ei:
+        reader.store_samples_device("train", "power")
+    msg = str(ei.value)
+    assert "9999-0000-0000" in msg and "7777-0000-0000" in msg
+    # the good file's cache entry was still written
+    cache = os.path.join(data_dir, "preprocessed-power", "train")
+    files = [os.path.basename(p) for p in iglob_recursive(cache, "*.npz")]
+    assert files == [FIXTURE_ID + ".npz"]

@@ -309,3 +309,42 @@ def test_partial_text_fused_with_lm(model_params, tmp_path):
     assert fused == vocabulary.ids_to_sentence(
         rec._committed_ids + [int(x) for x in ids]
     )
+
+
+def test_partial_text_fused_before_any_commit_equals_full_beam(
+    model_params, tmp_path
+):
+    """Independent reference for the LM-fused partial wrapper: while the
+    commit frontier is still at 0 (audio shorter than the model's right
+    context), the fused partial must equal a PLAIN full-utterance beam
+    over the same logits — computed through `native.ctc_beam_search`,
+    which shares none of partial_text_fused's tail-slicing /
+    carry-derivation logic (a wrong frontier slice, an inverted
+    ended_in_blank, or committed-state leakage all break this equality
+    without breaking the wrapper's own construction)."""
+    from speecht_tpu import native
+    from tests.test_beam import ARPA
+
+    (tmp_path / "model.arpa").write_text(ARPA)
+    (tmp_path / "vocabulary").write_text("the\ncat\ndog\nsat\n")
+    lm = native.NGramLM(
+        str(tmp_path / "model.arpa"), str(tmp_path / "vocabulary")
+    )
+    model, params = model_params
+    sr = 16000
+    audio = speechlike_audio(1.0, sr, seed=7)  # < RIGHT_CONTEXT frames
+    rec = StreamingRecognizer(model, params, sample_rate=sr)
+    for chunk in np.array_split(audio, 3):
+        rec.accept_chunk(chunk)
+    assert rec._frontier == 0 and rec.committed_text() == ""
+
+    fused = rec.partial_text_fused(lm, lm_weight=1.0)
+    logits = rec._logits
+    shifted = logits - logits.max(-1, keepdims=True)
+    logp = shifted - np.log(np.exp(shifted).sum(-1, keepdims=True))
+    ids = native.ctc_beam_search(
+        logp.astype(np.float32), beam_width=32, lm=lm,
+        lm_weight=1.0, word_count_weight=0.0,
+        valid_word_count_weight=2.3,
+    )
+    assert fused == vocabulary.ids_to_sentence([int(x) for x in ids])
