@@ -37,7 +37,13 @@ class Preprocessing:
 
         def store(split: str):
             if on_device:
-                reader.store_samples_device(split, flags.feature_type)
+                reader.store_samples_device(
+                    split,
+                    flags.feature_type,
+                    transfer_dtype=getattr(
+                        flags, "transfer_dtype", "bfloat16"
+                    ),
+                )
             else:
                 reader.store_samples(
                     split, preprocess_fnc, num_workers=workers
