@@ -298,3 +298,48 @@ def batch_mfccs(
 
     out = jnp.concatenate((_norm(mfcc_c), _norm(d1), _norm(d2)), axis=-1)
     return jnp.where(mask, out, 0.0), frame_lengths
+
+
+def make_front_end(feature_type: str, wire_sr: int | None = None,
+                   sr: int = 22050):
+    """Jit-safe raw-audio front end: wire decode -> (resample) -> features.
+
+    Returns ``front_end(audio [B, S], num_samples [B]) -> (features,
+    frame_lengths)`` shared by every consumer of ``AudioBatch`` (the
+    ``--from-audio`` eval/beam paths). Two wire conventions are undone
+    here, both static at trace time:
+
+    - **int16 audio** (the compact AudioBatch wire, pipeline._cast_payload)
+      decodes as ``x / 32768`` — lossless for FLAC's 16-bit PCM, unlike a
+      bf16 audio wire whose -48 dB noise floor corrupts low-energy mel
+      bins (measured; see reader.store_samples_device docstring).
+    - **native-rate audio**: when ``wire_sr`` differs from the feature
+      sample rate ``sr``, the polyphase sinc resample (ops/resample.py,
+      one MXU matmul) runs fused in front of the feature DSP, and
+      ``num_samples`` is re-expressed in output-sample space. Hosts then
+      ship 16 kHz sources 27% smaller and skip the host resampler
+      entirely (the 1-core bottleneck of the pre-round-3 from-audio path).
+    """
+    feature_fn = (
+        batch_power_spectrogram if feature_type == "power" else batch_mfccs
+    )
+    if wire_sr is not None and wire_sr != sr:
+        from speecht_tpu.ops import resample as resample_mod
+
+        def front_end(audio, num_samples):
+            x = audio.astype(jnp.float32)
+            if audio.dtype == jnp.int16:
+                x = x / 32768.0
+            x = resample_mod.batch_resample(x, wire_sr, sr)
+            counts = resample_mod.out_count(num_samples, wire_sr, sr)
+            return feature_fn(x, counts, sr=sr)
+
+        return front_end
+
+    def front_end(audio, num_samples):
+        x = audio.astype(jnp.float32)
+        if audio.dtype == jnp.int16:
+            x = x / 32768.0
+        return feature_fn(x, num_samples, sr=sr)
+
+    return front_end

@@ -427,6 +427,26 @@ class SpeechCorpusReader:
             )
         return stored
 
+    def probe_native_rate(self, directory: str) -> int | None:
+        """Native sample rate of the first flac under ``directory``.
+
+        One decode of one file; used by the ``--from-audio`` paths to pick
+        the wire rate (decode at native rate, resample on device). Returns
+        None for an empty directory.
+        """
+        from speecht_tpu import native
+
+        first = next(
+            iglob_recursive(
+                os.path.join(self._data_directory, directory), "*.flac"
+            ),
+            None,
+        )
+        if first is None:
+            return None
+        _audio, sr = native.flac_decode(first)
+        return int(sr)
+
     def load_raw_samples(
         self,
         directory: str,

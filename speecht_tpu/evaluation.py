@@ -43,6 +43,35 @@ class Evaluation(DatasetExecutor):
     def seq_parallel(self) -> int:
         return int(getattr(self.flags, "seq_parallel", 0) or 0)
 
+    @property
+    def wire_sr(self) -> int:
+        """Sample rate raw audio crosses the wire at (``--from-audio``).
+
+        The corpus's native rate when the native->22050 ratio is rational
+        enough for the on-device polyphase resample (ops/resample.py) —
+        the host then only decodes (no 1-core resample bottleneck) and
+        ships ~27% fewer samples for 16 kHz sources; otherwise 22050 (the
+        host resamples, as before round 3). Probed once per run.
+        """
+        if getattr(self, "_wire_sr", None) is None:
+            from speecht_tpu.native import DEFAULT_SR
+            from speecht_tpu.ops import resample as resample_mod
+
+            native_sr = self.reader.probe_native_rate(self.flags.dataset)
+            if (
+                native_sr is not None
+                and native_sr != DEFAULT_SR
+                and resample_mod.is_rational(native_sr, DEFAULT_SR)
+            ):
+                self._wire_sr = native_sr
+                print(
+                    f"from-audio: decoding at native {native_sr} Hz; "
+                    f"resampling to {DEFAULT_SR} Hz on device"
+                )
+            else:
+                self._wire_sr = DEFAULT_SR
+        return self._wire_sr
+
     def create_mesh(self):
         if self.seq_parallel > 1:
             n = self.seq_parallel
@@ -76,6 +105,7 @@ class Evaluation(DatasetExecutor):
                 self.flags.dataset,
                 loop_infinitely=False,
                 limit_count=limit_count,
+                sample_rate=self.wire_sr,
                 **self.shard_kwargs,
             )
         return self.reader.load_samples(
@@ -94,15 +124,28 @@ class Evaluation(DatasetExecutor):
             PrefetchLoader,
             build_audio_batch,
         )
+        from speecht_tpu.native import DEFAULT_SR
+        from speecht_tpu.ops import resample as resample_mod
 
+        # sample bucket in WIRE-rate space: a multiple of the polyphase
+        # hop (batch_resample needs S % M == 0) that resamples to at
+        # least the feature-frame bucket
+        sample_bucket = resample_mod.input_bucket(
+            160 * getattr(self.flags, "bucket_step", 256),
+            self.wire_sr,
+            DEFAULT_SR,
+        )
         return PrefetchLoader(
             lambda: self.create_sample_generator(
                 self.get_loader_limit_count()
             ),
             batch_size=self.local_batch_size(),
-            time_bucket=160 * getattr(self.flags, "bucket_step", 256),
+            time_bucket=sample_bucket,
             max_steps=self.get_max_steps(),
             batch_builder=build_audio_batch,
+            transfer_dtype=getattr(
+                self.flags, "transfer_dtype", "bfloat16"
+            ),
         )
 
     def get_loader_limit_count(self) -> int:
@@ -130,6 +173,7 @@ class Evaluation(DatasetExecutor):
                 feature_type=(
                     self.flags.feature_type if self.from_audio else None
                 ),
+                wire_sr=self.wire_sr if self.from_audio else None,
             )
             return self._beam.eval_step
         if self.from_audio:
@@ -164,9 +208,11 @@ class Evaluation(DatasetExecutor):
     def _make_audio_eval_step(self):
         """Fully on-device evaluate: raw audio -> features -> logits -> decode.
 
-        The whole front end (framing, rFFT, mel projection, normalization —
-        features_tpu) fuses into the same XLA program as the conv stack and
-        greedy decode; the host only ships padded raw audio.
+        The whole front end (int16 wire decode, polyphase resample from the
+        corpus native rate, framing, rFFT, mel projection, normalization —
+        features_tpu.make_front_end) fuses into the same XLA program as the
+        conv stack and greedy decode; the host only decodes flacs and ships
+        padded native-rate audio.
         """
         import jax
         import jax.numpy as jnp
@@ -175,10 +221,8 @@ class Evaluation(DatasetExecutor):
         from speecht_tpu.models.wav2letter import output_length
         from speecht_tpu.ops import ctc_pallas, decode
 
-        feature_fn = (
-            FT.batch_power_spectrogram
-            if self.flags.feature_type == "power"
-            else FT.batch_mfccs
+        feature_fn = FT.make_front_end(
+            self.flags.feature_type, wire_sr=self.wire_sr
         )
         model = self.model
 
@@ -190,10 +234,12 @@ class Evaluation(DatasetExecutor):
             losses = ctc_pallas.ctc_loss(
                 logits, logit_lengths, batch.labels, batch.label_lengths
             )
-            real = (batch.num_samples > 0).astype(jnp.float32)
-            real = real * (losses < 1e29).astype(jnp.float32)
-            avg_loss = jnp.sum(losses * real) / jnp.maximum(
-                jnp.sum(real), 1.0
+            # mask with where, not multiply: padded all-zero rows produce
+            # nan FEATURES (0/0 in the masked normalize), so their losses
+            # are nan and nan * 0 = nan would poison the batch average
+            real = (batch.num_samples > 0) & (losses < 1e29)
+            avg_loss = jnp.sum(jnp.where(real, losses, 0.0)) / jnp.maximum(
+                jnp.sum(real.astype(jnp.float32)), 1.0
             )
             decoded, dec_lengths, _ = decode.greedy_decode(
                 logits, logit_lengths

@@ -78,9 +78,13 @@ class BeamSearchDecoder:
     def __init__(self, model, lm_config, blank_threshold: float | None = None,
                  num_threads: int | None = None,
                  feature_type: str | None = None,
-                 device_beam: bool | None = None):
+                 device_beam: bool | None = None,
+                 wire_sr: int | None = None):
         """``feature_type`` switches the device part to the raw-audio front
-        end (AudioBatch inputs, features computed on device).
+        end (AudioBatch inputs, features computed on device); ``wire_sr``
+        is the sample rate that audio arrives at (the corpus native rate
+        when the caller decodes without host resampling — the device then
+        resamples to 22050 fused with the features).
 
         ``blank_threshold`` defaults to the lm_config's (``--blank-threshold``
         CLI flag, 0.999): frames whose blank probability exceeds it are
@@ -208,11 +212,10 @@ class BeamSearchDecoder:
             from speecht_tpu.data import features_tpu as FT
             from speecht_tpu.ops import ctc_pallas
 
-            feature_fn = (
-                FT.batch_power_spectrogram
-                if feature_type == "power"
-                else FT.batch_mfccs
-            )
+            # undoes the int16 wire and fuses the native-rate -> 22050
+            # polyphase resample when ``wire_sr`` says the host shipped
+            # native-rate audio (evaluation.wire_sr)
+            feature_fn = FT.make_front_end(feature_type, wire_sr=wire_sr)
 
             @jax.jit
             def device_part(params, batch):
@@ -224,11 +227,12 @@ class BeamSearchDecoder:
                 losses = ctc_pallas.ctc_loss(
                     logits, logit_lengths, batch.labels, batch.label_lengths
                 )
-                real = (batch.num_samples > 0).astype(jnp.float32)
-                real = real * (losses < 1e29).astype(jnp.float32)
-                avg_loss = jnp.sum(losses * real) / jnp.maximum(
-                    jnp.sum(real), 1.0
-                )
+                # where-mask: padded rows' features are nan (0/0 in the
+                # masked normalize), so nan * 0 would poison the average
+                real = (batch.num_samples > 0) & (losses < 1e29)
+                avg_loss = jnp.sum(
+                    jnp.where(real, losses, 0.0)
+                ) / jnp.maximum(jnp.sum(real.astype(jnp.float32)), 1.0)
                 logit_lengths = jnp.where(
                     batch.num_samples > 0, logit_lengths, 0
                 )

@@ -124,6 +124,13 @@ def _plan(sr_in: int, sr_out: int):
     return L, M, P, -start_off, W2
 
 
+def is_rational(sr_in: int, sr_out: int) -> bool:
+    """True when the ratio has a polyphase plan (L <= _MAX_L) — i.e. the
+    device resample applies; otherwise resample on the host."""
+    g = math.gcd(sr_in, sr_out)
+    return sr_out // g <= _MAX_L
+
+
 def out_count(n_in, sr_in: int, sr_out: int):
     """Output length: ceil(n_in * sr_out / sr_in) (librosa.load convention,
     same as st_resample — speecht_native.cpp:455-456). Works on python ints

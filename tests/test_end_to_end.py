@@ -422,6 +422,24 @@ def test_evaluate_from_audio_matches_cached(workdir, capsys):
     assert decoded_line(audio_out) == decoded_line(cached_out)
 
 
+def test_evaluate_from_audio_partial_batch_loss_finite(workdir, capsys):
+    """Padded rows of a partial batch produce nan FEATURES (0/0 in the
+    masked normalize); the loss average must where-mask them out instead
+    of nan-poisoning the batch statistic (regression: pre-round-3
+    `evaluate --from-audio` printed `loss nan` at any batch size larger
+    than the corpus remainder)."""
+    stats = run_cli(
+        workdir, "evaluate", "--test", "--step-count", "1", "--no-save",
+        "--from-audio", "--batch-size", "4",
+    )
+    out = capsys.readouterr().out
+    assert stats.decodings_counter == 1
+    loss_line = next(
+        l for l in out.splitlines() if "validation average loss" in l
+    )
+    assert "nan" not in loss_line
+
+
 def test_max_input_frames_skips_long_utterances(workdir, capsys, caplog):
     # the fixture utterance is 719 frames; a 100-frame cap must skip it
     # with a warning (reference preprocessing.py:272-276 max_size semantics)

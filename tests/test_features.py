@@ -166,3 +166,68 @@ def test_device_framing_tiny_audio():
             rtol=2e-4,
             atol=2e-4,
         )
+
+
+class TestFrontEnd:
+    """features_tpu.make_front_end: the shared --from-audio device front
+    end (int16 wire decode + fused native-rate resample + feature DSP)."""
+
+    def test_native_rate_matches_host_resample(self):
+        """16 kHz wire audio through the fused resample+features must match
+        host resample (native.resample) followed by the host DSP."""
+        from speecht_tpu import native
+        from speecht_tpu.data import features_tpu as FT
+        from speecht_tpu.ops import resample as resample_mod
+
+        rng = np.random.RandomState(7)
+        lengths = [16000, 24000]
+        S = resample_mod.input_bucket(
+            int(np.ceil(max(lengths) * 22050 / 16000)), 16000, 22050
+        )
+        batch = np.zeros((2, S), dtype=np.float32)
+        for i, n in enumerate(lengths):
+            batch[i, :n] = rng.randn(n).astype(np.float32) * 0.1
+
+        front = FT.make_front_end("power", wire_sr=16000)
+        feats, frame_lens = front(batch, np.array(lengths, dtype=np.int32))
+        feats = np.asarray(feats)
+        for i, n in enumerate(lengths):
+            host_audio = native.resample(batch[i, :n], 16000, 22050)
+            host = F.calc_power_spectrogram(host_audio, 22050)
+            T = host.shape[0]
+            assert int(frame_lens[i]) == T
+            np.testing.assert_allclose(
+                feats[i, :T], host, atol=1e-2, rtol=1e-2
+            )
+            if feats.shape[1] > T:
+                assert np.abs(feats[i, T:]).max() == 0.0
+
+    def test_int16_wire_matches_float_wire(self):
+        """int16-quantized PCM (the AudioBatch compact wire) must decode to
+        the identical features as the float audio it encodes."""
+        from speecht_tpu.data import features_tpu as FT
+
+        rng = np.random.RandomState(8)
+        q = (rng.randn(2, 19200) * 3000).astype(np.int16)
+        audio = (q.astype(np.float32)) / 32768.0
+        ns = np.array([19200, 12800], np.int32)
+
+        front = FT.make_front_end("power", wire_sr=16000)
+        f_int, l_int = front(q, ns)
+        f_flt, l_flt = front(audio, ns)
+        np.testing.assert_array_equal(np.asarray(l_int), np.asarray(l_flt))
+        np.testing.assert_allclose(
+            np.asarray(f_int), np.asarray(f_flt), atol=1e-5, rtol=1e-5
+        )
+
+    def test_wire_rate_none_is_plain_feature_fn(self):
+        from speecht_tpu.data import features_tpu as FT
+
+        rng = np.random.RandomState(9)
+        audio = rng.randn(1, 12800).astype(np.float32) * 0.1
+        ns = np.array([12800], np.int32)
+        front = FT.make_front_end("power", wire_sr=None)
+        f1, l1 = front(audio, ns)
+        f2, l2 = FT.batch_power_spectrogram(audio, ns)
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
