@@ -133,13 +133,17 @@ def is_rational(sr_in: int, sr_out: int) -> bool:
 
 def out_count(n_in, sr_in: int, sr_out: int):
     """Output length: ceil(n_in * sr_out / sr_in) (librosa.load convention,
-    same as st_resample — speecht_native.cpp:455-456). Works on python ints
-    and numpy arrays."""
+    same as st_resample — speecht_native.cpp:455-456). Works on python
+    ints, numpy arrays, and traced int32 arrays: the ceil is computed as
+    ``(n//M)*L + ceil((n%M)*L/M)`` so the intermediate never exceeds
+    ``n*L/M + M*L`` (a plain ``n*L`` overflows int32 at ~5 minutes of
+    16 kHz audio)."""
     if sr_in == sr_out:
         return n_in
     g = math.gcd(sr_in, sr_out)
     L, M = sr_out // g, sr_in // g
-    return -(-(n_in * L) // M)
+    q, r = n_in // M, n_in % M
+    return q * L + -(-(r * L) // M)
 
 
 def input_bucket(sample_bucket: int, sr_in: int, sr_out: int) -> int:
