@@ -279,6 +279,29 @@ class CLI:
         )
         p.add_argument("--weights", dest="export_weights_dir", type=str)
         p.add_argument("--input-size", dest="input_size", type=int, default=128)
+        p.add_argument(
+            "--stablehlo", dest="export_stablehlo_dir", type=str,
+            help="Also export the full inference program (conv stack + "
+            "greedy CTC decode, weights baked in) as a self-contained "
+            "serialized-StableHLO serving artifact; any XLA host can run "
+            "it with jax alone (see speecht_tpu/serving.py).",
+        )
+        p.add_argument(
+            "--export-batch-size", dest="export_batch_size", type=int,
+            default=0,
+            help="Fix the artifact's batch dim (0 = shape-polymorphic).",
+        )
+        p.add_argument(
+            "--export-frames", dest="export_frames", type=int, default=0,
+            help="Fix the artifact's frame dim, must be even "
+            "(0 = shape-polymorphic over even frame counts).",
+        )
+        p.add_argument(
+            "--export-platforms", dest="export_platforms", type=str,
+            default="tpu,cpu",
+            help="Comma-separated lowering targets baked into the "
+            "StableHLO artifact.",
+        )
 
     @property
     def parsed(self):

@@ -617,6 +617,46 @@ def test_export(workdir):
     assert kernel0.shape == (48, 128, 250)
 
 
+def test_export_stablehlo_serving_artifact(workdir):
+    """`export --stablehlo` ships a runnable self-contained program."""
+    import glob
+
+    from speecht_tpu import serving
+
+    out = workdir / "serving"
+    run_cli(
+        workdir,
+        "export",
+        "--stablehlo", str(out),
+        "--export-platforms", "cpu",
+        "--input-size", "128",
+    )
+    exported, manifest = serving.load_stablehlo(str(out))
+    assert manifest["input_size"] == 128
+    assert manifest["feature_type"] == "power"
+    # drive it with the real cached fixture features (shape-polymorphic:
+    # this batch/frame combo was never named at export time)
+    npz = sorted(
+        glob.glob(
+            str(workdir / "data" / "preprocessed-power" / "**" / "*.npz"),
+            recursive=True,
+        )
+    )
+    feats = np.load(npz[0])["audio_fragments"].astype(np.float32)
+    frames = len(feats) - (len(feats) % 2)  # artifact wants even frames
+    batch = feats[None, :frames]
+    lens = np.array([frames], np.int32)
+    ids, id_lens, logits = exported.call(batch, lens)
+    assert np.asarray(logits).shape == (1, frames // 2, 29)
+    # a 2-step model may greedily decode to all-blank (n == 0); the
+    # contract under test is shapes/ranges/padding, not quality
+    n = int(np.asarray(id_lens)[0])
+    row = np.asarray(ids)[0]
+    assert 0 <= n <= frames // 2
+    assert np.all((row[:n] >= 0) & (row[:n] < 28))
+    assert np.all(row[n:] == -1)
+
+
 def test_sigterm_saves_checkpoint(workdir):
     """Preemption drill: SIGTERM mid-training must crash-save the latest
     step (cloud schedulers send SIGTERM before evicting a worker)."""

@@ -1,0 +1,125 @@
+"""StableHLO serving-artifact tests (speecht_tpu/serving.py).
+
+The exported program must be self-contained: deserializable with jax alone
+and bit-matching the in-process model forward + greedy decode. Reference
+parity anchor: the export command surface (reference speecht/exporting.py)
+— the artifact is the TPU-native extension of it.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from speecht_tpu.models.wav2letter import (
+    Wav2Letter,
+    Wav2LetterConfig,
+    init_params,
+)
+from speecht_tpu import serving
+
+TINY = Wav2LetterConfig(
+    input_size=8,
+    base_channels=16,
+    wide_channels=32,
+    num_body_layers=2,
+    compute_dtype="float32",
+)
+
+
+@pytest.fixture(scope="module")
+def model_params():
+    model = Wav2Letter(TINY)
+    params = nn.meta.unbox(init_params(jax.random.PRNGKey(0), TINY))
+    return model, params
+
+
+def _reference_outputs(model, params, feats, lens):
+    infer = serving.make_infer_fn(model)
+    return jax.jit(infer)(params, jnp.asarray(feats), jnp.asarray(lens))
+
+
+def _rand_batch(rng, b, t):
+    feats = rng.standard_normal((b, t, TINY.input_size)).astype(np.float32)
+    lens = rng.integers(t // 2, t + 1, size=(b,)).astype(np.int32)
+    return feats, lens
+
+
+class TestStablehloExport:
+    def test_polymorphic_round_trip(self, model_params, tmp_path):
+        """One artifact serves multiple (B, T) shapes, output == direct."""
+        model, params = model_params
+        out = str(tmp_path / "artifact")
+        manifest = serving.export_stablehlo(
+            model, params, out, feature_type="power",
+            platforms=("cpu", "tpu"),
+        )
+        assert manifest["batch_size"] == "dynamic"
+        assert manifest["platforms"] == ["cpu", "tpu"]
+        assert os.path.exists(os.path.join(out, serving.ARTIFACT_NAME))
+        with open(os.path.join(out, serving.MANIFEST_NAME)) as f:
+            assert json.load(f)["input_size"] == TINY.input_size
+
+        exported, _m = serving.load_stablehlo(out)
+        rng = np.random.default_rng(0)
+        for b, t in ((3, 32), (5, 64)):
+            feats, lens = _rand_batch(rng, b, t)
+            got = exported.call(feats, lens)
+            want = _reference_outputs(model, params, feats, lens)
+            for g, w in zip(got, want):
+                np.testing.assert_allclose(
+                    np.asarray(g), np.asarray(w), rtol=1e-6, atol=1e-6
+                )
+
+    def test_static_shape_export(self, model_params, tmp_path):
+        model, params = model_params
+        out = str(tmp_path / "artifact")
+        manifest = serving.export_stablehlo(
+            model, params, out, feature_type="power",
+            batch_size=2, frames=32, platforms=("cpu",),
+        )
+        assert manifest["batch_size"] == 2 and manifest["frames"] == 32
+        exported, _m = serving.load_stablehlo(out)
+        rng = np.random.default_rng(1)
+        feats, lens = _rand_batch(rng, 2, 32)
+        got = exported.call(feats, lens)
+        want = _reference_outputs(model, params, feats, lens)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=1e-6, atol=1e-6
+            )
+        # a static artifact must reject other shapes, not silently pad
+        bad_feats, bad_lens = _rand_batch(rng, 3, 32)
+        with pytest.raises(Exception):
+            exported.call(bad_feats, bad_lens)
+
+    def test_odd_frames_rejected(self, model_params, tmp_path):
+        model, params = model_params
+        with pytest.raises(ValueError, match="even"):
+            serving.export_stablehlo(
+                model, params, str(tmp_path / "x"),
+                feature_type="power", frames=33,
+            )
+
+    def test_manifest_alphabet_decodes_without_package(
+        self, model_params, tmp_path
+    ):
+        """A consumer with only the manifest can map ids to text."""
+        model, params = model_params
+        out = str(tmp_path / "artifact")
+        serving.export_stablehlo(
+            model, params, out, feature_type="power", platforms=("cpu",),
+        )
+        exported, manifest = serving.load_stablehlo(out)
+        rng = np.random.default_rng(2)
+        feats, lens = _rand_batch(rng, 2, 32)
+        ids, id_lens, _logits = exported.call(feats, lens)
+        alphabet = manifest["alphabet"]
+        assert len(alphabet) == 28 and manifest["blank_id"] == 28
+        row = np.asarray(ids)[0][: int(np.asarray(id_lens)[0])]
+        text = "".join(alphabet[i] for i in row)  # raises if out of range
+        assert isinstance(text, str)
