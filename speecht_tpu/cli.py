@@ -302,6 +302,19 @@ class CLI:
             help="Comma-separated lowering targets baked into the "
             "StableHLO artifact.",
         )
+        p.add_argument(
+            "--from-audio", dest="from_audio", action="store_true",
+            help="With --stablehlo: export the END-TO-END program — int16 "
+            "raw audio in, the whole on-device front end (optional "
+            "polyphase resample + feature DSP) fused ahead of the conv "
+            "stack and greedy decode.",
+        )
+        p.add_argument(
+            "--wire-sr", dest="export_wire_sr", type=int, default=0,
+            help="With --stablehlo --from-audio: sample rate the audio "
+            "input arrives at; the artifact resamples to 22050 on device "
+            "(0 = audio already at 22050).",
+        )
 
     @property
     def parsed(self):

@@ -44,6 +44,8 @@ class Exporting:
                 feature_type=flags.feature_type,
                 batch_size=getattr(flags, "export_batch_size", 0),
                 frames=getattr(flags, "export_frames", 0),
+                from_audio=getattr(flags, "from_audio", False),
+                wire_sr=getattr(flags, "export_wire_sr", 0) or None,
                 platforms=tuple(
                     p.strip()
                     for p in getattr(

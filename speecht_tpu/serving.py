@@ -36,7 +36,50 @@ import json
 import os
 
 ARTIFACT_NAME = "wav2letter_greedy.stablehlo"
+AUDIO_ARTIFACT_NAME = "wav2letter_greedy_from_audio.stablehlo"
 MANIFEST_NAME = "manifest.json"
+
+
+def make_audio_infer_fn(model, feature_type: str, wire_sr: int | None = None):
+    """(params, audio [B,S] i16, num_samples [B]) -> (ids, lengths, logits).
+
+    The end-to-end from-audio serving forward: the whole on-device front
+    end (int16 wire decode, optional polyphase resample from ``wire_sr``,
+    framing, rFFT, mel, dB, normalize — data/features_tpu.make_front_end)
+    fused with the conv stack and greedy decode in ONE program. Audio
+    enters as int16 PCM (sample/32768.0 float convention — lossless for
+    16-bit sources, half the bytes of f32).
+    """
+    from speecht_tpu.data import features_tpu as FT
+    from speecht_tpu.models.wav2letter import output_length
+    from speecht_tpu.ops import decode
+
+    front_end = FT.make_front_end(feature_type, wire_sr=wire_sr)
+
+    def infer(params, audio, num_samples):
+        features, frame_lengths = front_end(audio, num_samples)
+        logits = model.apply({"params": params}, features)
+        decoded, dec_lengths, _scores = decode.greedy_decode(
+            logits, output_length(frame_lengths)
+        )
+        return decoded, dec_lengths, logits.astype("float32")
+
+    return infer
+
+
+def _audio_granularity(wire_sr: int | None, sr: int = 22050) -> int:
+    """Sample-count granularity of a polymorphic audio dim.
+
+    Resampling needs S to be a multiple of the polyphase hop M
+    (ops/resample.py); without resampling, 2*hop (= 320) keeps frame
+    counts on the pipeline's even-bucket discipline.
+    """
+    import math
+
+    if wire_sr is None or wire_sr == sr:
+        return 320
+    g = math.gcd(wire_sr, sr)
+    return wire_sr // g
 
 
 def make_infer_fn(model):
@@ -68,6 +111,8 @@ def export_stablehlo(
     feature_type: str,
     batch_size: int = 0,
     frames: int = 0,
+    from_audio: bool = False,
+    wire_sr: int | None = None,
     platforms: tuple[str, ...] = ("tpu", "cpu"),
 ) -> dict:
     """Serialize the greedy-inference program to ``out_dir``.
@@ -76,6 +121,13 @@ def export_stablehlo(
     polymorphic as ``2*t`` — the stride-2 first conv wants even input, and
     the bucketed pipeline only ever produces even frame counts). Returns
     the manifest dict.
+
+    ``from_audio=True`` exports the END-TO-END program instead: int16 raw
+    audio (at ``wire_sr``, default the feature rate 22050) -> on-device
+    front end (optional polyphase resample + feature DSP) -> conv stack ->
+    greedy decode, all in one artifact. ``frames`` is then a sample count
+    and must be a multiple of the audio granularity (see
+    :func:`_audio_granularity`); polymorphic by default.
     """
     import jax
     import jax.numpy as jnp
@@ -84,55 +136,117 @@ def export_stablehlo(
     from speecht_tpu import vocabulary
 
     cfg = model.config
-    if frames > 0 and frames % 2:
-        raise ValueError(
-            f"--export-frames must be even (stride-2 first conv); "
-            f"got {frames}"
+    if from_audio:
+        gran = _audio_granularity(wire_sr)
+        # min length: framing's boundary-patch slicing needs a few
+        # hundred samples of room (symbolic comparisons below that are
+        # inconclusive, and sub-0.1 s utterances are not a serving case)
+        min_units = max(1, -(-2560 // gran))
+        if frames > 0 and frames % gran:
+            raise ValueError(
+                f"--export-frames (audio samples for --from-audio) must "
+                f"be a multiple of the {gran}-sample granularity; got "
+                f"{frames}"
+            )
+        if batch_size > 0 and frames > 0:
+            b, t = int(batch_size), int(frames)
+        elif batch_size > 0:
+            (t,) = jexport.symbolic_shape(
+                f"{gran}*s", constraints=[f"s >= {min_units}"]
+            )
+            b = int(batch_size)
+        elif frames > 0:
+            (b,) = jexport.symbolic_shape("b")
+            t = int(frames)
+        else:
+            b, t = jexport.symbolic_shape(
+                f"b, {gran}*s", constraints=[f"s >= {min_units}"]
+            )
+        in_specs = (
+            jax.ShapeDtypeStruct((b, t), jnp.int16),
+            jax.ShapeDtypeStruct((b,), jnp.int32),
         )
-    if batch_size > 0 and frames > 0:
-        b, t = int(batch_size), int(frames)
-    elif batch_size > 0:
-        (t,) = jexport.symbolic_shape("2*t")
-        b = int(batch_size)
-    elif frames > 0:
-        (b,) = jexport.symbolic_shape("b")
-        t = int(frames)
+        infer = make_audio_infer_fn(model, feature_type, wire_sr=wire_sr)
     else:
-        b, t = jexport.symbolic_shape("b, 2*t")
-    feat_spec = jax.ShapeDtypeStruct((b, t, cfg.input_size), jnp.float32)
-    len_spec = jax.ShapeDtypeStruct((b,), jnp.int32)
+        if frames > 0 and frames % 2:
+            raise ValueError(
+                f"--export-frames must be even (stride-2 first conv); "
+                f"got {frames}"
+            )
+        if batch_size > 0 and frames > 0:
+            b, t = int(batch_size), int(frames)
+        elif batch_size > 0:
+            (t,) = jexport.symbolic_shape("2*t")
+            b = int(batch_size)
+        elif frames > 0:
+            (b,) = jexport.symbolic_shape("b")
+            t = int(frames)
+        else:
+            b, t = jexport.symbolic_shape("b, 2*t")
+        in_specs = (
+            jax.ShapeDtypeStruct((b, t, cfg.input_size), jnp.float32),
+            jax.ShapeDtypeStruct((b,), jnp.int32),
+        )
+        infer = make_infer_fn(model)
 
-    infer = make_infer_fn(model)
     baked = functools.partial(infer, params)  # weights -> module constants
     exported = jexport.export(jax.jit(baked), platforms=tuple(platforms))(
-        feat_spec, len_spec
+        *in_specs
     )
     blob = exported.serialize()
 
     os.makedirs(out_dir, exist_ok=True)
-    artifact_path = os.path.join(out_dir, ARTIFACT_NAME)
-    with open(artifact_path, "wb") as f:
+    artifact_name = AUDIO_ARTIFACT_NAME if from_audio else ARTIFACT_NAME
+    with open(os.path.join(out_dir, artifact_name), "wb") as f:
         f.write(blob)
+    if from_audio:
+        io_contract = {
+            "wire_sr": wire_sr or 22050,
+            "audio_granularity_samples": gran,
+            "min_audio_samples": gran * min_units,
+            "inputs": [
+                f"audio [B, S] int16 PCM at {wire_sr or 22050} Hz "
+                "(float sample x 32768; S a multiple of "
+                f"{gran}, pad with zeros)",
+                "num_samples [B] int32 (valid sample counts)",
+            ],
+            "outputs": [
+                "decoded [B, T'] int32 (greedy CTC ids, padded with -1)",
+                "decoded_lengths [B] int32",
+                "logits [B, T', num_classes] float32 "
+                "(T' = frame count // 2 as lowered from S)",
+            ],
+        }
+    else:
+        io_contract = {
+            "inputs": [
+                "features [B, T, input_size] float32 "
+                "(normalized features, data/features.py numerics)",
+                "seq_lengths [B] int32 (valid frame counts)",
+            ],
+            "outputs": [
+                "decoded [B, T//2] int32 (greedy CTC ids, padded with -1)",
+                "decoded_lengths [B] int32",
+                "logits [B, T//2, num_classes] float32",
+            ],
+        }
     manifest = {
         "format": "jax.export serialized StableHLO",
-        "artifact": ARTIFACT_NAME,
+        "artifact": artifact_name,
         "bytes": len(blob),
         "platforms": list(platforms),
         "feature_type": feature_type,
+        "from_audio": bool(from_audio),
         "input_size": cfg.input_size,
         "num_classes": cfg.num_classes,
         "batch_size": int(batch_size) or "dynamic",
-        "frames": int(frames) or "dynamic (must be even)",
-        "inputs": [
-            "features [B, T, input_size] float32 "
-            "(normalized features, data/features.py numerics)",
-            "seq_lengths [B] int32 (valid frame counts)",
-        ],
-        "outputs": [
-            "decoded [B, T//2] int32 (greedy CTC ids, padded with -1)",
-            "decoded_lengths [B] int32",
-            "logits [B, T//2, num_classes] float32",
-        ],
+        "frames": int(frames)
+        or (
+            "dynamic (granularity-aligned samples)"
+            if from_audio
+            else "dynamic (must be even)"
+        ),
+        **io_contract,
         "alphabet": [
             vocabulary.id_to_letter(i) for i in range(vocabulary.SIZE)
         ],

@@ -657,6 +657,40 @@ def test_export_stablehlo_serving_artifact(workdir):
     assert np.all(row[n:] == -1)
 
 
+def test_export_stablehlo_from_audio(workdir):
+    """`export --stablehlo --from-audio --wire-sr 16000`: the artifact
+    ingests raw int16 audio at the corpus native rate and carries the
+    fused on-device resample + feature DSP."""
+    from speecht_tpu import native, serving
+
+    out = workdir / "serving_audio"
+    run_cli(
+        workdir,
+        "export",
+        "--stablehlo", str(out),
+        "--from-audio",
+        "--wire-sr", "16000",
+        "--export-platforms", "cpu",
+        "--input-size", "128",
+    )
+    exported, manifest = serving.load_stablehlo(str(out))
+    assert manifest["from_audio"] is True and manifest["wire_sr"] == 16000
+    gran = manifest["audio_granularity_samples"]
+    flac = str(workdir / "data" / "train" / (FIXTURE_ID + ".flac"))
+    audio, sr = native.load_audio(flac, sr=None)
+    assert int(sr) == 16000
+    pcm = np.clip(np.rint(audio * 32768.0), -32768, 32767).astype(np.int16)
+    S = -(-len(pcm) // gran) * gran
+    batch = np.zeros((1, S), np.int16)
+    batch[0, : len(pcm)] = pcm
+    ids, id_lens, logits = exported.call(
+        batch, np.array([len(pcm)], np.int32)
+    )
+    assert np.asarray(logits).ndim == 3 and np.asarray(logits).shape[2] == 29
+    n = int(np.asarray(id_lens)[0])
+    assert 0 <= n <= np.asarray(ids).shape[1]
+
+
 def test_sigterm_saves_checkpoint(workdir):
     """Preemption drill: SIGTERM mid-training must crash-save the latest
     step (cloud schedulers send SIGTERM before evicting a worker)."""

@@ -105,6 +105,62 @@ class TestStablehloExport:
                 feature_type="power", frames=33,
             )
 
+    @pytest.mark.parametrize("wire_sr", [None, 16000])
+    def test_from_audio_polymorphic_round_trip(
+        self, tmp_path, wire_sr
+    ):
+        """End-to-end artifact: int16 audio in, ids out — == direct jit,
+        including the fused on-device polyphase resample at 16 kHz."""
+        cfg = Wav2LetterConfig(
+            input_size=128,
+            base_channels=16,
+            wide_channels=32,
+            num_body_layers=2,
+            compute_dtype="float32",
+        )
+        model = Wav2Letter(cfg)
+        params = nn.meta.unbox(init_params(jax.random.PRNGKey(1), cfg))
+        out = str(tmp_path / "audio_artifact")
+        manifest = serving.export_stablehlo(
+            model, params, out, feature_type="power",
+            from_audio=True, wire_sr=wire_sr, platforms=("cpu",),
+        )
+        gran = manifest["audio_granularity_samples"]
+        assert manifest["from_audio"] is True
+        assert manifest["wire_sr"] == (wire_sr or 22050)
+
+        exported, _m = serving.load_stablehlo(out)
+        infer = serving.make_audio_infer_fn(
+            model, "power", wire_sr=wire_sr
+        )
+        rng = np.random.default_rng(3)
+        for b, units in ((2, 150), (3, 200)):
+            S = gran * units
+            audio = (rng.standard_normal((b, S)) * 3000).astype(np.int16)
+            lens = rng.integers(S // 2, S + 1, size=(b,)).astype(np.int32)
+            got = exported.call(audio, lens)
+            want = jax.jit(infer)(params, audio, lens)
+            for g, w in zip(got, want):
+                np.testing.assert_allclose(
+                    np.asarray(g), np.asarray(w), rtol=1e-6, atol=1e-6
+                )
+
+    def test_from_audio_granularity_rejected(self, tmp_path):
+        cfg = Wav2LetterConfig(
+            input_size=128,
+            base_channels=16,
+            wide_channels=32,
+            num_body_layers=2,
+            compute_dtype="float32",
+        )
+        model = Wav2Letter(cfg)
+        params = nn.meta.unbox(init_params(jax.random.PRNGKey(1), cfg))
+        with pytest.raises(ValueError, match="granularity"):
+            serving.export_stablehlo(
+                model, params, str(tmp_path / "x"), feature_type="power",
+                from_audio=True, frames=321, platforms=("cpu",),
+            )
+
     def test_manifest_alphabet_decodes_without_package(
         self, model_params, tmp_path
     ):
