@@ -223,25 +223,34 @@ def batch_iterator(
                 return
 
 
+def audio_to_int16(audio: np.ndarray) -> np.ndarray:
+    """THE int16 audio-wire quantization (every producer must use it).
+
+    Lossless for FLAC's 16-bit PCM source (v/32768 float round-trips to
+    v exactly); a bf16 audio wire's -48 dB noise floor measurably
+    corrupts low-energy mel bins (see reader.store_samples_device). The
+    device front end (features_tpu.make_front_end) undoes the x32768
+    scaling at trace time based on the array dtype.
+    """
+    return np.clip(np.rint(audio * 32768.0), -32768, 32767).astype(
+        np.int16
+    )
+
+
 def _cast_payload(batch, dtype):
     """Cast the dense float payload (features/audio) for transfer.
 
     Features compact to the requested float dtype. Raw audio compacts to
-    **int16** instead (same 2 bytes as bf16, but lossless for FLAC's
-    16-bit PCM source — a bf16 audio wire's -48 dB noise floor measurably
-    corrupts low-energy mel bins; see reader.store_samples_device). The
-    device front end (features_tpu.make_front_end) undoes the x32768
-    scaling at trace time based on the array dtype.
+    **int16** instead (same 2 bytes as bf16 — :func:`audio_to_int16`).
     """
     if isinstance(batch, Batch):
         return dataclasses.replace(
             batch, features=batch.features.astype(dtype)
         )
     if isinstance(batch, AudioBatch):
-        audio = np.clip(
-            np.rint(batch.audio * 32768.0), -32768, 32767
-        ).astype(np.int16)
-        return dataclasses.replace(batch, audio=audio)
+        return dataclasses.replace(
+            batch, audio=audio_to_int16(batch.audio)
+        )
     return batch
 
 

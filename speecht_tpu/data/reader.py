@@ -72,6 +72,27 @@ def _transform_and_store(args) -> str | None:
         return f"{audio_file}: {type(e).__name__}: {e}"
 
 
+def _flac_header_sample_rate(path: str) -> int | None:
+    """Sample rate from a FLAC STREAMINFO header (26 bytes, no decode).
+
+    Layout (FLAC spec): 4-byte ``fLaC`` magic, 4-byte metadata block
+    header whose first block MUST be STREAMINFO (type 0), then the
+    34-byte body with the 20-bit sample rate at body bytes 10-12. Returns
+    None for anything that does not parse (caller falls back to a full
+    decode path).
+    """
+    try:
+        with open(path, "rb") as f:
+            head = f.read(21)
+    except OSError:
+        return None
+    if len(head) < 21 or head[:4] != b"fLaC" or head[4] & 0x7F != 0:
+        return None
+    body = head[8:]
+    sr = (body[10] << 12) | (body[11] << 4) | (body[12] >> 4)
+    return sr or None
+
+
 # buckets already announced as compiling by store_samples_device — the jit
 # cache is process-global, so the announcement dedupe must be too
 _DEVICE_PREPROCESS_ANNOUNCED: set[tuple] = set()
@@ -81,32 +102,28 @@ _DEVICE_PREPROCESS_ANNOUNCED: set[tuple] = set()
 def _device_wire_program(
     feature_type: str, sr_in: int, sr_out: int, compact_wire: bool
 ):
-    """Jitted (audio [B,S], counts_out [B]) -> (feats, frame_lengths).
+    """Jitted (audio [B,S], num_samples [B]) -> (feats, frame_lengths).
 
-    The full device side of `preprocess --device`: int16 wire decode,
-    polyphase resample to the cache rate, feature DSP — one XLA program,
-    so the intermediate resampled audio never exists in HBM beyond the
-    fusion. ``counts_out`` are per-utterance valid lengths in the OUTPUT
-    (sr_out) sample space (resample.out_count of the decoded lengths)."""
+    The full device side of `preprocess --device`: the SAME wire front end
+    the ``--from-audio`` eval paths use (features_tpu.make_front_end —
+    int16 wire decode, polyphase resample to the cache rate, feature DSP,
+    one XLA program), plus the bf16 feature-download cast of the compact
+    wire. ``num_samples`` are per-utterance valid lengths in the INPUT
+    (sr_in) sample space, as everywhere else the front end appears."""
     import jax
     import jax.numpy as jnp
 
     from speecht_tpu.data import features_tpu as FT
-    from speecht_tpu.ops import resample as resample_mod
 
-    feature_fn = (
-        FT.batch_power_spectrogram
-        if feature_type == "power"
-        else FT.batch_mfccs
+    front_end = FT.make_front_end(
+        feature_type,
+        wire_sr=sr_in if sr_in != sr_out else None,
+        sr=sr_out,
     )
 
     @jax.jit
-    def wire(audio, counts_out):
-        x = audio.astype(jnp.float32)
-        if compact_wire:  # int16 -> float in [-1, 1)
-            x = x / 32768.0
-        x = resample_mod.batch_resample(x, sr_in, sr_out)
-        feats, frame_lengths = feature_fn(x, counts_out)
+    def wire(audio, num_samples):
+        feats, frame_lengths = front_end(audio, num_samples)
         if compact_wire:
             feats = feats.astype(jnp.bfloat16)
         return feats, frame_lengths
@@ -260,7 +277,10 @@ class SpeechCorpusReader:
 
         Returns the number of stored utterances.
         """
-        from speecht_tpu.data import features_tpu as FT
+        from speecht_tpu.data import features_tpu as FT  # noqa: F401
+        from speecht_tpu.data.pipeline import (
+            audio_to_int16 as pipeline_audio_to_int16,
+        )
 
         if feature_type not in ("power", "mfcc"):
             raise ValueError("Feature type must be mfcc or power.")
@@ -281,13 +301,13 @@ class SpeechCorpusReader:
         # set in the same run must not re-announce a warm bucket
         compiled_shapes = _DEVICE_PREPROCESS_ANNOUNCED
 
-        def wire_fn(audio, counts_out, native_sr: int):
+        def wire_fn(audio, num_samples, native_sr: int):
             """One jitted program: (int16|f32) audio at its native rate ->
             resample -> features; retraced per (sr, shape) bucket."""
             fn = _device_wire_program(
                 feature_type, int(native_sr), sample_rate, compact_wire
             )
-            return fn(audio, counts_out)
+            return fn(audio, num_samples)
 
         # per-file failures must not abort the run mid-stream: like the
         # host path (store_samples / reference preprocessing.py:208-210),
@@ -295,19 +315,23 @@ class SpeechCorpusReader:
         # summary exception is raised at the end
         errors: list[str] = []
 
-        def process_batch(items, audio, counts_out, native_sr) -> None:
+        def process_batch(items, audio, num_samples, native_sr) -> None:
             """Upload -> device resample+DSP -> sliced fetch -> npz store.
 
             Runs on the worker thread; the numpy/jax calls release the
             GIL during the wire transfers, which is where the time goes
             on a narrow link."""
             feats, frame_lengths = wire_fn(
-                jnp.asarray(audio), jnp.asarray(counts_out), native_sr
+                jnp.asarray(audio), jnp.asarray(num_samples), native_sr
             )
             # fetch only the frames that exist: frame count is the same
-            # host-computable 1 + n//160 the DSP uses, so the bucket's
-            # padded tail (often 30%+) never crosses the wire
-            mf = min(feats.shape[1], 1 + int(counts_out.max()) // 160)
+            # host-computable 1 + n//160 the DSP uses (n in cache-rate
+            # samples), so the bucket's padded tail (often 30%+) never
+            # crosses the wire
+            n_out = resample_mod.out_count(
+                int(num_samples.max()), int(native_sr), sample_rate
+            )
+            mf = min(feats.shape[1], 1 + n_out // 160)
             feats = np.asarray(feats[:, :mf]).astype(np.float32)
             frame_lengths = np.asarray(frame_lengths)
             for i, (aid, _a) in enumerate(items):
@@ -350,16 +374,18 @@ class SpeechCorpusReader:
             )
             S = n_units * unit
             audio = np.zeros((batch_size, S), np.float32)
-            counts_out = np.zeros(batch_size, np.int32)
+            num_samples = np.zeros(batch_size, np.int32)
             for i, (_aid, a) in enumerate(items):
                 audio[i, : len(a)] = a
-                counts_out[i] = resample_mod.out_count(
-                    len(a), native_sr, sample_rate
-                )
-            # the jitted program is per (feature fn, shape, sr) — all must
-            # be in the dedupe key or a later pass with a different
-            # feature type / source rate would cold-compile silently
-            shape = (feature_type, batch_size, S, native_sr)
+                num_samples[i] = len(a)
+            # the jitted program is keyed on every _device_wire_program
+            # argument plus the traced shape — all must be in the dedupe
+            # key or a later pass with a different feature type / source
+            # rate / wire dtype would cold-compile silently
+            shape = (
+                feature_type, batch_size, S, native_sr, sample_rate,
+                compact_wire,
+            )
             if shape not in compiled_shapes:
                 compiled_shapes.add(shape)
                 print(
@@ -369,10 +395,8 @@ class SpeechCorpusReader:
                     flush=True,
                 )
             if compact_wire:
-                audio = np.clip(
-                    np.round(audio * 32768.0), -32768, 32767
-                ).astype(np.int16)
-            work_q.put((items, audio, counts_out, native_sr))
+                audio = pipeline_audio_to_int16(audio)
+            work_q.put((items, audio, num_samples, native_sr))
 
         pending: dict[tuple[int, int], list] = {}
         stored = 0
@@ -428,24 +452,25 @@ class SpeechCorpusReader:
         return stored
 
     def probe_native_rate(self, directory: str) -> int | None:
-        """Native sample rate of the first flac under ``directory``.
+        """Common native sample rate of ALL flacs under ``directory``.
 
-        One decode of one file; used by the ``--from-audio`` paths to pick
-        the wire rate (decode at native rate, resample on device). Returns
-        None for an empty directory.
+        Reads only the 26-byte STREAMINFO header of each file (no audio
+        decode); used by the ``--from-audio`` paths to pick the wire rate
+        (decode at native rate, resample on device). Returns None for an
+        empty directory, an unparseable header, or a MIXED-rate corpus —
+        a single-rate wire program would silently host-resample the
+        off-rate files first (band-limiting them when their rate is
+        higher), so mixed corpora must fall back to the 22050 host path.
         """
-        from speecht_tpu import native
-
-        first = next(
-            iglob_recursive(
-                os.path.join(self._data_directory, directory), "*.flac"
-            ),
-            None,
-        )
-        if first is None:
-            return None
-        _audio, sr = native.flac_decode(first)
-        return int(sr)
+        rate: int | None = None
+        for path in iglob_recursive(
+            os.path.join(self._data_directory, directory), "*.flac"
+        ):
+            sr = _flac_header_sample_rate(path)
+            if sr is None or (rate is not None and sr != rate):
+                return None
+            rate = sr
+        return rate
 
     def load_raw_samples(
         self,

@@ -47,11 +47,14 @@ class Evaluation(DatasetExecutor):
     def wire_sr(self) -> int:
         """Sample rate raw audio crosses the wire at (``--from-audio``).
 
-        The corpus's native rate when the native->22050 ratio is rational
-        enough for the on-device polyphase resample (ops/resample.py) —
-        the host then only decodes (no 1-core resample bottleneck) and
-        ships ~27% fewer samples for 16 kHz sources; otherwise 22050 (the
-        host resamples, as before round 3). Probed once per run.
+        The corpus's native rate when EVERY file shares it (verified by a
+        STREAMINFO header scan — a mixed-rate corpus would band-limit the
+        off-rate files through a host pre-resample) and the native->22050
+        ratio is rational enough for the on-device polyphase resample
+        (ops/resample.py) — the host then only decodes (no 1-core
+        resample bottleneck) and ships ~27% fewer samples for 16 kHz
+        sources; otherwise 22050 (the host resamples, as before round 3).
+        Probed once per run.
         """
         if getattr(self, "_wire_sr", None) is None:
             from speecht_tpu.native import DEFAULT_SR

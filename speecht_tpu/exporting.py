@@ -32,7 +32,7 @@ class Exporting:
         if flags.export_weights_dir:
             written = export_weights(state.params, flags.export_weights_dir)
             print(f"Exported {len(written)} arrays to {flags.export_weights_dir}")
-            results = written
+            results.extend(written)
 
         if getattr(flags, "export_stablehlo_dir", None):
             from speecht_tpu.serving import export_stablehlo
@@ -60,7 +60,7 @@ class Exporting:
                 f"platforms {manifest['platforms']}, "
                 f"B={manifest['batch_size']}, T={manifest['frames']})"
             )
-            results = results or [manifest]
+            results.append(manifest)
 
         if not results:
             print("Nothing to do.")

@@ -310,7 +310,9 @@ def _two_choice_place(
         residue = o_idx
     if len(residue):
         # pass 3: cuckoo eviction walks over an explicit occupancy table
-        table = np.full((nb, slots), -1, np.int64)
+        # (int32: entry indices < 2^31, and at production bucket counts
+        # an int64 table would be a multi-hundred-MB transient)
+        table = np.full((nb, slots), -1, np.int32)
         ok = out_bucket >= 0
         table[out_bucket[ok], out_slot[ok]] = np.nonzero(ok)[0]
         rng = np.random.RandomState(0x5EED)

@@ -133,3 +133,44 @@ def test_store_samples_device_collects_per_file_errors(data_dir):
     cache = os.path.join(data_dir, "preprocessed-power", "train")
     files = [os.path.basename(p) for p in iglob_recursive(cache, "*.npz")]
     assert files == [FIXTURE_ID + ".npz"]
+
+
+def _fake_flac_header(path, sample_rate):
+    """Minimal fLaC magic + STREAMINFO header carrying ``sample_rate``
+    (probe_native_rate only reads the 20 rate bits, never the audio)."""
+    body = bytearray(34)
+    body[10] = (sample_rate >> 12) & 0xFF
+    body[11] = (sample_rate >> 4) & 0xFF
+    body[12] = (sample_rate & 0xF) << 4
+    with open(path, "wb") as f:
+        f.write(b"fLaC" + bytes([0x80, 0, 0, 34]) + bytes(body))
+
+
+def test_probe_native_rate_header_only(data_dir):
+    """The probe reads STREAMINFO headers, no audio decode: the fixture
+    corpus reports its 16 kHz rate."""
+    reader = SpeechCorpusReader(data_dir)
+    assert reader.probe_native_rate("train") == 16000
+
+
+def test_probe_native_rate_mixed_corpus_returns_none(data_dir):
+    """A corpus mixing sample rates must NOT get a single-rate wire
+    program (the off-rate files would be band-limited through a host
+    pre-resample): the probe reports None and --from-audio falls back to
+    the 22050 host-resample path."""
+    reader = SpeechCorpusReader(data_dir)
+    _fake_flac_header(
+        os.path.join(data_dir, "train", "9999-0000-0001.flac"), 22050
+    )
+    assert reader.probe_native_rate("train") is None
+    # unparseable header => also the safe fallback
+    with open(
+        os.path.join(data_dir, "train", "9999-0000-0001.flac"), "wb"
+    ) as f:
+        f.write(b"not a flac")
+    assert reader.probe_native_rate("train") is None
+    # unanimous again once the stray file matches
+    _fake_flac_header(
+        os.path.join(data_dir, "train", "9999-0000-0001.flac"), 16000
+    )
+    assert reader.probe_native_rate("train") == 16000
