@@ -39,6 +39,12 @@ RIGHT_CONTEXT = 112
 _DB_FLOOR = 80.0  # librosa top_db
 _AMIN = 1e-10
 
+# a logit row's standing value must come from a window pass in which the
+# row had at least this many rows (= 2x input frames) of context on each
+# side; 64 rows = 128 input frames, above both the ~97-frame one-sided
+# receptive field and RIGHT_CONTEXT/2
+MARGIN_ROWS = 64
+
 
 def greedy_collapse(best_path: np.ndarray, prev: int = -1) -> list[int]:
     """Collapse repeats then drop blanks (host-side helper)."""
@@ -98,6 +104,13 @@ class StreamingRecognizer:
 
         if feature_type not in ("power", "mfcc"):
             raise ValueError(f"unsupported feature type {feature_type!r}")
+        if window_frames % 2 or window_frames <= 4 * MARGIN_ROWS:
+            raise ValueError(
+                f"window_frames must be even and > {4 * MARGIN_ROWS} "
+                f"(got {window_frames}): each full window seals its rows "
+                "up to MARGIN_ROWS short of both edges, so smaller windows "
+                "cannot advance the catch-up sweep"
+            )
         expected = F.feature_size(feature_type)
         if model.config.input_size != expected:
             raise ValueError(
@@ -113,6 +126,8 @@ class StreamingRecognizer:
         self.n_fft = n_fft
         self.input_size = model.config.input_size
         self._dct = F.dct_basis(13, 128)
+        self._fb = F.mel_filterbank(sample_rate, n_fft, n_mels=128)
+        self._hann = F.hann_window(n_fft)
 
         self._forward = jax.jit(
             lambda p, x: model.apply({"params": p}, x)
@@ -136,6 +151,7 @@ class StreamingRecognizer:
         self._d2_stable = 0  # frames whose delta-delta is final (t <= T-9)
         # decode state
         self._logits: np.ndarray | None = None  # [T//2, C]
+        self._good_rows = 0  # rows sealed with full two-sided context
         self._frontier = 0  # committed logit frames
         self._committed_ids: list[int] = []
         self._committed_prev = -1
@@ -159,11 +175,10 @@ class StreamingRecognizer:
         t = np.arange(have, computable)[:, None]
         q = t * self.hop + np.arange(self.n_fft)[None, :] - self.n_fft // 2
         q = np.abs(q)  # numpy-'reflect' at the left edge
-        frames = self._audio[q] * F.hann_window(self.n_fft)[None, :]
+        frames = self._audio[q] * self._hann[None, :]
         spec = np.fft.rfft(frames, n=self.n_fft, axis=1)
         power = np.abs(spec) ** 2  # [n_new, 257]
-        fb = F.mel_filterbank(self.sample_rate, self.n_fft, n_mels=128)
-        new_power = power @ fb.T  # [n_new, 128]
+        new_power = power @ self._fb.T  # [n_new, 128]
         new_log = 10.0 * np.log10(np.maximum(_AMIN, new_power))
 
         def grow(buf, new):
@@ -219,20 +234,51 @@ class StreamingRecognizer:
             self._d2_norm.update(self._delta_rows(new_d2[0], new_d2[1], 2))
             self._d2_stable = new_d2[1]
 
-    def _window_features(self) -> np.ndarray:
-        """Normalized features for the last <=window_frames frames, O(W)."""
-        T = (
-            self._db.shape[0]
-            if self.feature_type == "power"
-            else self._mfcc.shape[0]
-        )
-        s = max(0, T - self.window_frames)
+    def _window_features(self, s: int, e: int) -> np.ndarray:
+        """Normalized features for frames [s, e), O(e - s)."""
         if self.feature_type == "power":
-            return self._db_norm.apply(self._db[s:]).astype(np.float32)
-        mf = self._mfcc_norm.apply(self._mfcc[s:])
-        d1 = self._d1_norm.apply(self._delta_rows(s, T, 1))
-        d2 = self._d2_norm.apply(self._delta_rows(s, T, 2))
+            return self._db_norm.apply(self._db[s:e]).astype(np.float32)
+        mf = self._mfcc_norm.apply(self._mfcc[s:e])
+        d1 = self._d1_norm.apply(self._delta_rows(s, e, 1))
+        d2 = self._d2_norm.apply(self._delta_rows(s, e, 2))
         return np.concatenate([mf, d1, d2], axis=1).astype(np.float32)
+
+    def _run_window(self, ws: int):
+        """Run the model over input frames [ws, ws+W) and merge the logits.
+
+        ``ws`` must be even so the stride-2 output grid of the window stays
+        in phase with the global logit grid. Rows below ``_good_rows`` are
+        sealed (their standing value already has >=MARGIN_ROWS rows of
+        context on each side) and are not overwritten; a full window seals
+        its rows up to MARGIN_ROWS short of its end.
+        """
+        T = self._log_mel.shape[0]
+        W = self.window_frames
+        Wt = min(W, T - ws)
+        feats = self._window_features(ws, ws + Wt)
+        window = feats if Wt == W else np.pad(
+            feats, ((0, W - Wt), (0, 0))
+        )
+        logits = np.asarray(
+            self._forward(self.params, window[None])
+        )[0]  # [W//2, C]
+        valid_out = Wt // 2
+        out_start = ws // 2
+        total_out = T // 2
+        C = logits.shape[-1]
+        if self._logits is None or self._logits.shape[0] < total_out:
+            grown = np.zeros((total_out, C), dtype=np.float32)
+            if self._logits is not None:
+                grown[: self._logits.shape[0]] = self._logits
+            self._logits = grown
+        lo = max(self._good_rows, out_start)
+        hi = min(out_start + valid_out, total_out)
+        if hi > lo:
+            self._logits[lo:hi] = logits[lo - out_start : hi - out_start]
+        if Wt == W:
+            self._good_rows = max(
+                self._good_rows, out_start + valid_out - MARGIN_ROWS
+            )
 
     # -- public API ---------------------------------------------------------
 
@@ -245,28 +291,21 @@ class StreamingRecognizer:
         if self._log_mel is None or self._log_mel.shape[0] < 2:
             return ""
 
-        feats = self._window_features()  # [Wt, input_size]
-        Wt = feats.shape[0]
         W = self.window_frames
         T = self._log_mel.shape[0]
-        window = feats if Wt == W else np.pad(
-            feats, ((0, W - Wt), (0, 0))
-        )
-        logits = np.asarray(
-            self._forward(self.params, window[None])
-        )[0]  # [W//2, C]
-        window_start = T - Wt
-        valid_out = Wt // 2
-        out_start = window_start // 2
-
+        # final (newest-audio) window start, even-aligned; when T-W is odd
+        # the last frame waits for the next pass (its logit row does not
+        # exist yet: total_out = T//2 is unchanged by one dangling frame)
+        fs = max(0, T - W)
+        fs -= fs % 2
+        # catch-up: one chunk can advance the stream by more than a window
+        # (bulk/file input); run intermediate full windows so every row the
+        # frontier will cross has a value computed with real context, not
+        # zeros or an edge-truncated pass
+        while fs > 0 and self._good_rows < fs // 2 + MARGIN_ROWS:
+            self._run_window(max(0, 2 * (self._good_rows - MARGIN_ROWS)))
+        self._run_window(fs)
         total_out = T // 2
-        C = logits.shape[-1]
-        if self._logits is None or self._logits.shape[0] < total_out:
-            grown = np.zeros((total_out, C), dtype=np.float32)
-            if self._logits is not None:
-                grown[: self._logits.shape[0]] = self._logits
-            self._logits = grown
-        self._logits[out_start : out_start + valid_out] = logits[:valid_out]
 
         # advance the commit frontier over logit frames whose full right
         # context (RIGHT_CONTEXT input frames) has arrived; committed ids

@@ -203,9 +203,9 @@ class TestMfccStreaming:
         )
         for chunk in np.array_split(audio, 10):
             rec.accept_chunk(chunk)
-        stream_win = rec._window_features()
         T = rec._mfcc.shape[0]
         s = max(0, T - rec.window_frames)
+        stream_win = rec._window_features(s, T)
         offline = F.calc_mfccs(audio, sr)[: T][s:]
         # compare interior rows (tail rows differ by delta edge padding)
         n = stream_win.shape[0] - 10
@@ -249,6 +249,93 @@ def test_finalize_with_lm_beam(model_params, tmp_path):
     assert final_lm == vocabulary.ids_to_sentence(ids)
     # greedy finalize still works and may differ
     assert isinstance(rec.finalize(), str)
+
+
+@pytest.mark.parametrize("seconds", [6.0, 6.01, 12.03])
+def test_single_chunk_longer_than_window_matches_offline(
+    model_params, seconds
+):
+    """One chunk longer than the rolling window must decode like a single
+    offline pass over the same (frozen streaming) features: every logit row
+    is computed (no zero rows frozen into the transcript), window starts
+    stay on the stride-2 phase, and 12 s exercises multiple catch-up
+    windows. 6.0 s lands on an odd T-W (the final window must drop the
+    dangling frame to hold the phase, so only the last receptive field of
+    *tentative* rows may differ); 6.01 s and 12.03 s land on even T-W where
+    every row must match exactly."""
+    model, params = model_params
+    sr = 16000
+    audio = speechlike_audio(seconds, sr, seed=6)
+    rec = StreamingRecognizer(model, params, sample_rate=sr)
+    partial = rec.accept_chunk(audio)
+
+    T = rec._log_mel.shape[0]
+    W = rec.window_frames
+    assert T > W  # the premise of this test
+    # every logit row was written by a real window pass (bias makes a
+    # genuine logit row nonzero; an unwritten row is exactly zero)
+    assert rec._logits.shape[0] == T // 2
+    assert np.abs(rec._logits).sum(axis=1).min() > 0
+
+    # one-shot pass over the streamer's own frozen features isolates the
+    # windowing logic from the (inherent, tiny) streaming-vs-offline
+    # normalization differences
+    feats = rec._db_norm.apply(rec._db).astype(np.float32)
+    padded = np.pad(feats, ((0, -(-T // W) * W - T), (0, 0)))
+    logits = np.asarray(model.apply({"params": params}, padded[None]))[0][
+        : T // 2
+    ]
+    # interior rows (full receptive field of real audio on both sides in
+    # both computations) match row-exactly
+    interior = T // 2 - 40
+    np.testing.assert_allclose(
+        rec._logits[:interior], logits[:interior], rtol=1e-4, atol=1e-5
+    )
+    assert rec._frontier > 0
+    assert rec._frontier <= interior
+    expected_committed = vocabulary.ids_to_sentence(
+        greedy_collapse(np.argmax(logits[: rec._frontier], axis=-1))
+    )
+    assert rec.committed_text() == expected_committed
+    if (T - W) % 2 == 0:
+        expected = vocabulary.ids_to_sentence(
+            greedy_collapse(np.argmax(logits, axis=-1))
+        )
+        assert partial == expected
+
+
+def test_large_then_small_chunks_keep_commit_contract(model_params):
+    """A big first chunk followed by normal small chunks: commits never
+    regress and the final committed text matches freezing the committed
+    logit span (no stale/zero rows under the frontier)."""
+    model, params = model_params
+    sr = 16000
+    audio = speechlike_audio(9.5, sr, seed=7)
+    big, rest = audio[: 7 * sr], audio[7 * sr :]
+    rec = StreamingRecognizer(model, params, sample_rate=sr)
+    prev = ""
+    for chunk in [big] + list(np.array_split(rest, 12)):
+        rec.accept_chunk(chunk)
+        committed = rec.committed_text()
+        assert committed.startswith(prev), (prev, committed)
+        prev = committed
+    assert np.abs(rec._logits).sum(axis=1).min() > 0
+    ids = greedy_collapse(np.argmax(rec._logits[: rec._frontier], axis=-1))
+    assert rec.committed_text() == vocabulary.ids_to_sentence(ids)
+
+
+def test_window_frames_guard():
+    """Windows too small to advance the catch-up sweep are rejected."""
+    from speecht_tpu.ops.streaming import MARGIN_ROWS
+
+    model = Wav2Letter(TINY)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 128))
+    )["params"]
+    with pytest.raises(ValueError, match="window_frames"):
+        StreamingRecognizer(model, params, window_frames=4 * MARGIN_ROWS)
+    with pytest.raises(ValueError, match="window_frames"):
+        StreamingRecognizer(model, params, window_frames=511)
 
 
 def test_greedy_collapse():
