@@ -104,6 +104,7 @@ class BeamSearchDecoder:
             device_beam = bool(getattr(lm_config, "device_beam", False))
         self.device_beam = device_beam
         self.rescore_n = int(getattr(lm_config, "rescore_n", 0) or 0)
+        self._seen_buckets: set[tuple[int, int]] = set()
         if self.rescore_n and not device_beam:
             raise ValueError("--rescore requires --device-beam")
         self.lm = None
@@ -243,6 +244,34 @@ class BeamSearchDecoder:
 
         self._device_part = device_part
 
+    def _announce_bucket(self, B: int, t_bucket: int):
+        """First-use compile announcement for a (batch, frames) bucket.
+
+        A fresh bucket means a (possibly minutes-long on a cold cache) XLA
+        compile — say so instead of hanging silently. Returns a callback
+        to invoke after the first synced result; it prints the ready time
+        on a bucket's first use and is a no-op afterwards.
+        """
+        if (B, t_bucket) in self._seen_buckets:
+            return lambda: None
+        self._seen_buckets.add((B, t_bucket))
+        print(
+            f"device beam: bucket B{B}xT{t_bucket} first use -- "
+            "compiling (minutes on a cold cache; "
+            "tools/warm_beam_cache.py precompiles the ladder)",
+            flush=True,
+        )
+        t_start = time.perf_counter()
+
+        def ready():
+            print(
+                f"device beam: bucket B{B}xT{t_bucket} ready in "
+                f"{time.perf_counter() - t_start:.1f}s",
+                flush=True,
+            )
+
+        return ready
+
     def decode_emissions(
         self,
         logp: np.ndarray,
@@ -272,33 +301,14 @@ class BeamSearchDecoder:
             # and short batches stop paying for the full logit width
             t_max = int(np.max(lengths)) if B else 0
             t_bucket = min(T, max(32, -(-t_max // 32) * 32))
-            # first-use UX: a fresh bucket means a (possibly minutes-long
-            # on a cold cache) XLA compile — say so instead of hanging
-            # silently, and report when it was a warm cache hit
-            if not hasattr(self, "_seen_buckets"):
-                self._seen_buckets = set()
-            announce = (B, t_bucket) not in self._seen_buckets
-            if announce:
-                self._seen_buckets.add((B, t_bucket))
-                print(
-                    f"device beam: bucket B{B}xT{t_bucket} first use -- "
-                    "compiling (minutes on a cold cache; "
-                    "tools/warm_beam_cache.py precompiles the ladder)",
-                    flush=True,
-                )
-                t_start = time.perf_counter()
+            announce_ready = self._announce_bucket(B, t_bucket)
             if self.rescore_n:
                 # stage 1: pure-acoustic n-best (all fusion weights zero)
                 ids, lens, scores = self._beam_fn(
                     logp[:, :t_bucket], lengths, 0.0, 0.0, 0.0
                 )
                 ids = np.asarray(ids)  # sync: compile + run complete here
-                if announce:
-                    print(
-                        f"device beam: bucket B{B}xT{t_bucket} ready in "
-                        f"{time.perf_counter() - t_start:.1f}s",
-                        flush=True,
-                    )
+                announce_ready()
                 return self._rescore(
                     ids,
                     np.asarray(lens),
@@ -311,12 +321,7 @@ class BeamSearchDecoder:
                 logp[:, :t_bucket], lengths, lm_w, wc_w, vwc_w
             )
             ids = np.asarray(ids)  # sync: compile + run complete here
-            if announce:
-                print(
-                    f"device beam: bucket B{B}xT{t_bucket} ready in "
-                    f"{time.perf_counter() - t_start:.1f}s",
-                    flush=True,
-                )
+            announce_ready()
             return ids, np.asarray(out_lengths)
 
         out = np.full((B, T), vocabulary.PAD_ID, dtype=np.int32)

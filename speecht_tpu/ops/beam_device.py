@@ -101,15 +101,15 @@ def _np_word_hash(ids: np.ndarray) -> tuple[np.uint32, np.uint32]:
 def _np_key_hash_rows(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Host-side twin of the device n-gram key hash, vectorized over rows.
 
-    ``ids`` is [N, n] int; returns (k1 [N], k2 [N]) uint32.
+    ``ids`` is [N, n] int (a 1-D [n] sequence counts as one row);
+    returns (k1 [N], k2 [N]) uint32.
     """
-    n_rows = len(ids)
-    k1 = np.full(n_rows, _KSEED1, np.uint32)
-    k2 = np.full(n_rows, _KSEED2, np.uint32)
+    ids = np.atleast_2d(np.asarray(ids))
+    k1 = np.full(ids.shape[0], _KSEED1, np.uint32)
+    k2 = np.full(ids.shape[0], _KSEED2, np.uint32)
     with np.errstate(over="ignore"):
-        for i in range(ids.shape[1] if ids.ndim == 2 else len(ids)):
-            col = ids[:, i] if ids.ndim == 2 else np.array([ids[i]])
-            u = col.astype(np.uint32) + np.uint32(1)
+        for i in range(ids.shape[1]):
+            u = ids[:, i].astype(np.uint32) + np.uint32(1)
             k1 = (k1 ^ u) * _KP1
             k2 = (k2 ^ u) * _KP2
     # (0, 0) marks empty slots; remap (collision probability ~2^-64)
@@ -181,11 +181,15 @@ def _kenlm_key_hash(tok: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 def _np_kenlm_key_hash_rows(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Host twin of :func:`_kenlm_key_hash` (exact u64 arithmetic)."""
+    """Host twin of :func:`_kenlm_key_hash` (exact u64 arithmetic).
+
+    ``ids`` is [N, n] int (a 1-D [n] sequence counts as one row).
+    """
     mask = (1 << 64) - 1
-    lo = np.zeros(len(ids), np.uint32)
-    hi = np.zeros(len(ids), np.uint32)
-    for r, row in enumerate(np.atleast_2d(ids)):
+    ids = np.atleast_2d(np.asarray(ids))
+    lo = np.zeros(ids.shape[0], np.uint32)
+    hi = np.zeros(ids.shape[0], np.uint32)
+    for r, row in enumerate(ids):
         h = int(row[0])
         for x in row[1:]:
             h = ((h * _KLM_C1) ^ ((1 + int(x)) * _KLM_C2)) & mask
@@ -805,7 +809,9 @@ def _make_lm_fns(lm: DeviceLM | None):
     return word_lookup, ngram_score
 
 
-# packed beam-state column layout (three gathers reindex everything)
+# packed beam-state column layout: per frame the u32/i32 slabs are
+# reindexed by one gather each; the f32 slab is rebuilt from the selected
+# candidate scores (no gather needed)
 _F_PB, _F_PNB, _F_LM = 0, 1, 2  # f32 slab [W, 3]
 _U_H1, _U_H2, _U_PH1, _U_PH2, _U_WH1, _U_WH2 = range(6)  # u32 slab [W, 6]
 _I_LAST, _I_WLEN, _I_HCNT, _I_ALIVE = range(4)  # i32 slab [W, 4 + H]
@@ -975,7 +981,8 @@ def make_device_beam_search(
             )
             ch_c = jnp.clip(ch, 0)
 
-            Fp, Up, Ip = F[par], U[par], I[par]  # three gathers
+            Up, Ip = U[par], I[par]  # reindex the int slabs; the f32
+            # slab is rebuilt below from cand_pb/cand_pnb/cand_lm
             u = (ch_c + 2).astype(jnp.uint32)
 
             n_h1 = jnp.where(is_stay, Up[:, _U_H1], Up[:, _U_H1] * _M1 + u)

@@ -58,7 +58,8 @@ def _emit_block(logp_ref, ext_oh_ref, emit_block):
     """Block emissions: emit[k, b, s] = logp[k, b, ext[b, s]].
 
     One [K, C] x [C, S] MXU matmul per batch row (Mosaic has no batched
-    dot_general; the per-row unroll is static over BATCH_TILE=8 rows).
+    dot_general; the per-row unroll is static over the block's BATCH_TILE
+    rows).
     """
     Bt = logp_ref.shape[1]
     for b in range(Bt):

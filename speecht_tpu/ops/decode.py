@@ -34,8 +34,9 @@ def greedy_decode(
 
     Returns:
       (decoded [B, T] int32 padded with PAD_ID, lengths [B] int32,
-       neg_sum_logits [B] — sum of max logit over non-collapsed frames,
-       mirroring tf.nn.ctc_greedy_decoder's log_probability output shape).
+       neg_sum_logits [B] — negated sum of the max logit over every valid
+       frame, collapsed or not, exactly tf.nn.ctc_greedy_decoder's
+       log_probability output).
     """
     B, T, _C = logits.shape
     best = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, T]
@@ -60,30 +61,6 @@ def greedy_decode(
 
     neg_sum_logits = -jnp.sum(jnp.where(valid, best_val, 0.0), axis=1)
     return out[:, :T], lengths, neg_sum_logits
-
-
-@functools.partial(jax.jit, static_argnames=("beam_cutoff",))
-def topk_emissions(
-    logits: jax.Array, logit_lengths: jax.Array, beam_cutoff: int = 8
-):
-    """Per-frame top-k log-probs for host-side beam search.
-
-    Device does the softmax + top-k (VPU work, tiny HBM->host transfer);
-    the host beam only ever sees k candidates per frame.
-
-    Returns (top_logp [B, T, k] f32, top_ids [B, T, k] int32,
-             blank_logp [B, T] f32).
-    """
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    top_logp, top_ids = jax.lax.top_k(logp, beam_cutoff)
-    blank_logp = logp[..., vocabulary.BLANK_ID]
-    t_idx = jnp.arange(logits.shape[1], dtype=jnp.int32)[None, :]
-    valid = t_idx < logit_lengths[:, None]
-    return (
-        jnp.where(valid[..., None], top_logp, 0.0),
-        jnp.where(valid[..., None], top_ids, vocabulary.BLANK_ID),
-        jnp.where(valid, blank_logp, 0.0),
-    )
 
 
 @functools.partial(jax.jit, static_argnames=())

@@ -93,7 +93,9 @@ def _filter_eval(t: np.ndarray) -> np.ndarray:
 
 @functools.lru_cache(maxsize=8)
 def _plan(sr_in: int, sr_out: int):
-    """(L, M, P, W2 [P, L] float32) — the per-ratio resample plan."""
+    """(L, M, P, left_pad, W2 [P, L] float32) — the per-ratio resample
+    plan: upsample/downsample factors, window length, samples of left
+    padding, and the window-relative weight matrix."""
     g = math.gcd(sr_in, sr_out)
     L, M = sr_out // g, sr_in // g
     if L > _MAX_L:

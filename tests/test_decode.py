@@ -71,16 +71,3 @@ def test_blank_collapse_drops_confident_blanks():
     )
     assert int(new_len[0]) == 1
     assert int(np.asarray(logp)[0, 0].argmax()) == 3
-
-
-def test_topk_emissions_shapes():
-    rng = np.random.RandomState(0)
-    x = rng.randn(2, 5, vocabulary.NUM_CLASSES).astype(np.float32)
-    top_logp, top_ids, blank_logp = decode.topk_emissions(
-        x, np.array([5, 3], np.int32), beam_cutoff=4
-    )
-    assert top_logp.shape == (2, 5, 4)
-    assert top_ids.shape == (2, 5, 4)
-    assert blank_logp.shape == (2, 5)
-    # masked frames zeroed
-    assert np.asarray(top_logp)[1, 3:].max() == 0.0
