@@ -168,6 +168,39 @@ def _masked_moments(x: jax.Array, mask: jax.Array) -> tuple[jax.Array, jax.Array
     return mean, jnp.sqrt(var)
 
 
+def _log_mel(audio, num_samples, sr, n_mels, n_fft, hop_length):
+    """Shared front half of both feature types: frame -> DFT power ->
+    mel matmul -> masked log10 (ref=1.0), plus the per-utterance masked
+    peak both types reference for their dB handling.
+
+    Returns (log_spec [B, T, n_mels], peak [B, 1, 1], mask [B, T, 1],
+    frame_lengths [B]).
+    """
+    frames = _frame_batch(
+        audio.astype(jnp.float32), num_samples, n_fft, hop_length
+    )
+    power = _power_spectrum(frames, n_fft)  # [B, T, F]
+    mel = jnp.asarray(_mel_matrix(sr, n_fft, n_mels))
+    mel_power = jnp.einsum(
+        "btf,fm->btm",
+        power,
+        mel,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    frame_lengths = num_frames(num_samples, hop_length).astype(jnp.int32)
+    t = jnp.arange(mel_power.shape[1], dtype=jnp.int32)
+    mask = (t[None, :] < frame_lengths[:, None])[..., None]  # [B, T, 1]
+
+    amin = 1e-10
+    log_spec = 10.0 * jnp.log10(jnp.maximum(amin, mel_power))
+    neg_inf = jnp.float32(-1e30)
+    masked_log = jnp.where(mask, log_spec, neg_inf)
+    peak = jnp.max(masked_log, axis=(1, 2), keepdims=True)
+    return log_spec, peak, mask, frame_lengths
+
+
 @functools.partial(
     jax.jit, static_argnames=("n_mels", "n_fft", "hop_length", "sr")
 )
@@ -189,28 +222,10 @@ def batch_power_spectrogram(
       (features [B, Tmax, n_mels] float32, frame_lengths [B] int32); frames
       beyond each utterance's length are zeroed.
     """
-    frames = _frame_batch(audio.astype(jnp.float32), num_samples, n_fft, hop_length)
-    power = _power_spectrum(frames, n_fft)  # [B, T, F]
-
-    mel = jnp.asarray(_mel_matrix(sr, n_fft, n_mels))
-    mel_power = jnp.einsum(
-        "btf,fm->btm",
-        power,
-        mel,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+    log_spec, ref_db, mask, frame_lengths = _log_mel(
+        audio, num_samples, sr, n_mels, n_fft, hop_length
     )
-
-    frame_lengths = num_frames(num_samples, hop_length).astype(jnp.int32)
-    t = jnp.arange(mel_power.shape[1], dtype=jnp.int32)
-    mask = (t[None, :] < frame_lengths[:, None])[..., None]  # [B, T, 1]
-
-    amin = 1e-10
-    log_spec = 10.0 * jnp.log10(jnp.maximum(amin, mel_power))
     # per-utterance ref = masked max (reference power_to_db ref=np.max)
-    neg_inf = jnp.float32(-1e30)
-    masked_log = jnp.where(mask, log_spec, neg_inf)
-    ref_db = jnp.max(masked_log, axis=(1, 2), keepdims=True)
     log_spec = log_spec - ref_db
     # top_db=80 floor relative to the (now 0) max
     log_spec = jnp.maximum(log_spec, -80.0)
@@ -233,25 +248,10 @@ def batch_mfccs(
 ) -> tuple[jax.Array, jax.Array]:
     """Batched MFCC + delta + delta-delta features on device, [B, T, 3*n_mfcc]."""
     n_mels = 128
-    frames = _frame_batch(audio.astype(jnp.float32), num_samples, n_fft, hop_length)
-    power = _power_spectrum(frames, n_fft)
-    mel = jnp.asarray(_mel_matrix(sr, n_fft, n_mels))
-    mel_power = jnp.einsum(
-        "btf,fm->btm",
-        power,
-        mel,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+    log_spec, peak, mask, frame_lengths = _log_mel(
+        audio, num_samples, sr, n_mels, n_fft, hop_length
     )
-
-    frame_lengths = num_frames(num_samples, hop_length).astype(jnp.int32)
-    t = jnp.arange(mel_power.shape[1], dtype=jnp.int32)
-    mask = (t[None, :] < frame_lengths[:, None])[..., None]
-
-    amin = 1e-10
-    log_spec = 10.0 * jnp.log10(jnp.maximum(amin, mel_power))  # ref=1.0
-    masked_log = jnp.where(mask, log_spec, -1e30)
-    peak = jnp.max(masked_log, axis=(1, 2), keepdims=True)
+    # ref stays 1.0 (no peak subtraction); the floor is peak-relative
     log_spec = jnp.maximum(log_spec, peak - 80.0)
 
     dct = jnp.asarray(_dct_matrix(n_mfcc, n_mels))

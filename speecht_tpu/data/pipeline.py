@@ -87,6 +87,8 @@ def build_audio_batch(
         L = max(S // 160 // 4, round_up(int(label_lengths.max()), 32), 32)
     else:
         L = round_up(max(int(label_lengths.max()), 1), label_bucket)
+    # multi-host: all processes must pad this step's batch identically
+    S, L = pmesh.sync_bucket_dims(S, L)
     B = max(n, pad_to_batch)
 
     audio = np.zeros((B, S), dtype=np.float32)
@@ -129,6 +131,8 @@ def build_batch(
         L = max(T // 4, round_up(int(label_lengths.max()), 32), 32)
     else:
         L = round_up(max(int(label_lengths.max()), 1), label_bucket)
+    # multi-host: all processes must pad this step's batch identically
+    T, L = pmesh.sync_bucket_dims(T, L)
     B = max(n, pad_to_batch)
 
     features = np.zeros((B, T, input_size), dtype=np.float32)
@@ -178,6 +182,14 @@ def batch_iterator(
     """
     builder = batch_builder or build_batch
     steps = 0
+
+    if group_by_length and jax.process_count() > 1:
+        raise ValueError(
+            "--group-by-length is not supported in multi-process runs: "
+            "each process's bin-fill order (and so its batch count and "
+            "shape sequence) depends on its own corpus shard, which "
+            "breaks the lockstep the cross-process collectives require"
+        )
 
     if not group_by_length:
         bucket: list = []
@@ -295,8 +307,12 @@ class PrefetchLoader:
         self._thread: threading.Thread | None = None
         self._error: BaseException | None = None
         self._stop = threading.Event()
+        self._finished = False
 
-    def _worker(self):
+    def _worker(self, out_queue: queue.Queue, stop_event: threading.Event):
+        # the queue/event are captured per worker run: a restarted loader
+        # swaps in fresh ones, and a lingering old worker must not feed
+        # the new iteration's queue
         try:
             for batch in batch_iterator(
                 self._factory(),
@@ -307,7 +323,7 @@ class PrefetchLoader:
                 batch_builder=self._batch_builder,
                 group_by_length=self._group_by_length,
             ):
-                if self._stop.is_set():
+                if stop_event.is_set():
                     return
                 if self._device_put:
                     # transfer on the worker thread: H2D overlaps the
@@ -316,17 +332,21 @@ class PrefetchLoader:
                     if self._transfer_dtype == "bfloat16":
                         batch = _cast_payload(batch, ml_dtypes.bfloat16)
                     batch = pmesh.shard_batch(batch, mesh=self._mesh)
-                self._queue.put(batch)
+                out_queue.put(batch)
         except BaseException as e:  # propagate into the consumer
             self._error = e
         finally:
-            self._queue.put(self._SENTINEL)
+            out_queue.put(self._SENTINEL)
 
     def start(self) -> "PrefetchLoader":
         # capture the active mesh: the worker thread has its own
         # thread-local mesh context
         self._mesh = pmesh.get_mesh()
-        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread = threading.Thread(
+            target=self._worker,
+            args=(self._queue, self._stop),
+            daemon=True,
+        )
         self._thread.start()
         return self
 
@@ -342,9 +362,19 @@ class PrefetchLoader:
     def __iter__(self):
         if self._thread is None:
             self.start()
+        elif self._finished or self._stop.is_set():
+            # the previous pass consumed (or stop() abandoned) the
+            # stream; restart from the generator factory instead of
+            # blocking forever on a queue nothing will ever feed
+            self._queue = queue.Queue(maxsize=self._queue.maxsize)
+            self._stop = threading.Event()
+            self._error = None
+            self._finished = False
+            self.start()
         while True:
             item = self._queue.get()
             if item is self._SENTINEL:
+                self._finished = True
                 if self._error is not None:
                     raise self._error
                 return

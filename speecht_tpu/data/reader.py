@@ -43,6 +43,21 @@ def iglob_recursive(directory: str, file_pattern: str) -> Iterator[str]:
             yield os.path.join(root, filename)
 
 
+def _equal_shard(files: list, shard_index: int, shard_count: int) -> list:
+    """Process ``shard_index``'s slice, truncated so every shard is the
+    same length.
+
+    Multi-host processes iterate their shards in lockstep (the batch
+    builders run one collective per batch — parallel/mesh.py
+    sync_bucket_dims), so unequal shard sizes would leave the longer
+    shards' processes blocked in a collective their peers never join.
+    The cost is dropping at most ``shard_count - 1`` trailing files of
+    the shuffled corpus.
+    """
+    per = len(files) // shard_count
+    return files[shard_index::shard_count][:per]
+
+
 def _resolve_feature_fn(feature_type) -> Callable:
     if callable(feature_type):
         return feature_type
@@ -86,7 +101,7 @@ def _flac_header_sample_rate(path: str) -> int | None:
             head = f.read(21)
     except OSError:
         return None
-    if len(head) < 21 or head[:4] != b"fLaC" or head[4] & 0x7F != 0:
+    if len(head) < 21 or head[:4] != b"fLaC" or (head[4] & 0x7F) != 0:
         return None
     body = head[8:]
     sr = (body[10] << 12) | (body[11] << 4) | (body[12] >> 4)
@@ -501,7 +516,7 @@ class SpeechCorpusReader:
         if limit_count:
             files = files[:limit_count]
         if shard_count > 1:
-            files = files[shard_index::shard_count]
+            files = _equal_shard(files, shard_index, shard_count)
         transcript_dict = self._transcript_dict
 
         while True:
@@ -550,7 +565,7 @@ class SpeechCorpusReader:
         if limit_count:
             files = files[:limit_count]
         if shard_count > 1:
-            files = files[shard_index::shard_count]
+            files = _equal_shard(files, shard_index, shard_count)
 
         def load_one(file):
             # the native reader is ~3x numpy.load and GIL-releasing

@@ -38,9 +38,14 @@ def make_mesh(
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
-    if model_parallel < 1 or n % model_parallel:
+    if model_parallel < 1:
+        raise ValueError(f"model_parallel={model_parallel} must be >= 1")
+    if not data_parallel and n % model_parallel:
+        # auto-fill dp uses every device, so mp must divide the total;
+        # an explicit dp only needs dp*mp devices (sub-meshes are legal)
         raise ValueError(
-            f"model_parallel={model_parallel} must divide device count {n}"
+            f"model_parallel={model_parallel} must divide device count {n} "
+            "when data_parallel is auto (0)"
         )
     dp = data_parallel or n // model_parallel
     if dp * model_parallel > n:
@@ -147,6 +152,30 @@ def replicate(tree, mesh: Mesh | None = None):
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(np.asarray(x), sharding), tree
     )
+
+
+def sync_bucket_dims(*dims: int) -> tuple[int, ...]:
+    """Elementwise max of ``dims`` across processes (identity when
+    single-process).
+
+    Multi-host batches must agree on their padded global shapes even
+    though each process buckets its own corpus shard: without this, one
+    process can pick time bucket 768 while another picks 1024 for the
+    same step, ``make_array_from_process_local_data`` assembles
+    inconsistent global arrays, and the train-step collectives deadlock.
+    Every process calls this in lockstep — exactly once per built batch
+    (the per-process batch sequences are equal-length by construction:
+    reader shards are truncated to equal size and ``--group-by-length``
+    is rejected multi-process) — and pads to the agreed maxima.
+    """
+    if jax.process_count() <= 1:
+        return dims
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(
+        np.asarray(dims, np.int32)
+    )
+    return tuple(int(x) for x in np.max(gathered, axis=0))
 
 
 def shard_batch(batch, mesh: Mesh | None = None):

@@ -106,8 +106,9 @@ def validate_sp_length(T: int, n: int, config) -> None:
     # (after the stride-2 layer it halves) must cover the widest kernel
     if T // (2 * n) < max_width:
         raise ValueError(
-            f"local slab {T // n} frames is too short for the widest "
-            f"kernel ({max_width}); need T >= {2 * n * max_width}"
+            f"local slab after the stride-2 layer ({T // (2 * n)} frames) "
+            f"is too short for the widest kernel ({max_width}); need "
+            f"T >= {2 * n * max_width}"
         )
 
 
@@ -130,31 +131,22 @@ def _sp_logits(params, features, config, mesh, seq_axis):
 def make_sp_loss_fn(model: Wav2Letter, mesh: Mesh, seq_axis: str = "model"):
     """(params, batch) -> (avg CTC loss, logits), time-sharded forward.
 
-    Same masking semantics as train.step.make_loss_fn (padded rows and
-    CTC-infeasible rows excluded); the CTC recurrence consumes the gathered
-    logits (XLA inserts the all-gather — CTC is sequential in time, so a
-    time-sharded alpha/beta would serialize the mesh anyway). Differentiable:
-    the backward pass derives the transposed halo exchange automatically.
+    Delegates to train.step.make_loss_fn with the dense forward swapped for
+    :func:`_sp_logits`, so the masking semantics (padded rows and
+    CTC-infeasible rows excluded) live in exactly one place. The CTC
+    recurrence consumes the gathered logits (XLA inserts the all-gather —
+    CTC is sequential in time, so a time-sharded alpha/beta would serialize
+    the mesh anyway). Differentiable: the backward pass derives the
+    transposed halo exchange automatically.
     """
-    import jax.numpy as jnp
-
-    from speecht_tpu.models.wav2letter import output_length
-    from speecht_tpu.ops import ctc_pallas
+    from speecht_tpu.train.step import make_loss_fn
 
     config = model.config
 
-    def loss_fn(params, batch):
-        logits = _sp_logits(params, batch.features, config, mesh, seq_axis)
-        logit_lengths = output_length(batch.seq_lengths)
-        losses = ctc_pallas.ctc_loss(
-            logits, logit_lengths, batch.labels, batch.label_lengths
-        )
-        real = (batch.seq_lengths > 0).astype(jnp.float32)
-        real = real * (losses < 1e29).astype(jnp.float32)
-        avg_loss = jnp.sum(losses * real) / jnp.maximum(jnp.sum(real), 1.0)
-        return avg_loss, logits
+    def sp_logits(params, batch):
+        return _sp_logits(params, batch.features, config, mesh, seq_axis)
 
-    return loss_fn
+    return make_loss_fn(model, logits_fn=sp_logits)
 
 
 def make_sp_eval_step(model: Wav2Letter, mesh: Mesh, seq_axis: str = "model"):
@@ -193,35 +185,21 @@ def make_sp_train_step(
 ):
     """Jitted donated (state, batch) -> (state, metrics) on SP gradients.
 
-    Mirrors train.step.make_train_step (clip -> Adam -> lr-scaled update)
-    with the forward/backward time-sharded over ``seq_axis``.
+    The update body IS train.step's (clip -> Adam -> lr-scaled update, via
+    ``_make_update_fn``) with the loss swapped for the time-sharded one —
+    a future change to the update rule applies to both paths by
+    construction.
     """
-    import optax
+    from speecht_tpu.train.step import _make_update_fn
 
-    from speecht_tpu.train.state import TrainState
-
-    loss_fn = make_sp_loss_fn(model, mesh, seq_axis)
+    update = _make_update_fn(
+        model, tx, loss_fn=make_sp_loss_fn(model, mesh, seq_axis)
+    )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch):
-        (avg_loss, _logits), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params, batch)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        updates = jax.tree_util.tree_map(
-            lambda u: -state.learning_rate * u, updates
-        )
-        params = optax.apply_updates(state.params, updates)
-        metrics = {"loss": avg_loss, "grad_norm": optax.global_norm(grads)}
-        return (
-            TrainState(
-                params=params,
-                opt_state=opt_state,
-                step=state.step + 1,
-                learning_rate=state.learning_rate,
-            ),
-            metrics,
-        )
+        new_state, avg_loss, grad_norm = update(state, batch)
+        return new_state, {"loss": avg_loss, "grad_norm": grad_norm}
 
     return train_step
 

@@ -31,9 +31,19 @@ from speecht_tpu.ops import ctc_pallas, decode
 from speecht_tpu.train.state import TrainState
 
 
-def make_loss_fn(model: Wav2Letter) -> Callable:
+def make_loss_fn(model: Wav2Letter, logits_fn: Callable | None = None) -> Callable:
+    """(params, batch) -> (avg CTC loss, logits).
+
+    ``logits_fn`` overrides the dense forward (e.g. the time-sharded
+    forward from parallel/seq_parallel.py) while keeping the masking
+    semantics — padded and CTC-infeasible rows excluded — in one place.
+    """
+    if logits_fn is None:
+        def logits_fn(params, batch):
+            return model.apply({"params": params}, batch.features)
+
     def loss_fn(params, batch):
-        logits = model.apply({"params": params}, batch.features)
+        logits = logits_fn(params, batch)
         logit_lengths = output_length(batch.seq_lengths)
         # padded rows (seq_length 0) contribute loss 0; the loss dispatches
         # to the Pallas alpha-beta kernels on TPU, the XLA scan elsewhere

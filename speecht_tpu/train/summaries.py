@@ -42,7 +42,14 @@ def device_histogram(x: jax.Array, bins: int = HIST_BINS) -> dict:
     idx = jnp.clip(
         jnp.floor((x - lo_e) / span * bins).astype(jnp.int32), 0, bins - 1
     )
-    counts = jnp.zeros((bins,), jnp.float32).at[idx].add(1.0)
+    # compare-and-reduce, not a scatter-add: TPU scatters serialize on
+    # duplicate indices (millions of collisions for a big leaf); XLA
+    # fuses this broadcasted equality into a single reduction pass
+    counts = jnp.sum(
+        (idx[:, None] == jnp.arange(bins, dtype=jnp.int32)[None, :])
+        .astype(jnp.float32),
+        axis=0,
+    )
     return {
         "min": lo,
         "max": hi,

@@ -78,7 +78,7 @@ class TestMultiHostSeams:
     assembly. Only one process exists here, so the tests pin the sharding
     arithmetic and the make_array path's single-process equivalence."""
 
-    def test_reader_shards_are_disjoint_and_complete(self, tmp_path):
+    def test_reader_shards_are_disjoint_and_equal(self, tmp_path):
         import numpy as np
 
         from speecht_tpu.data.reader import SpeechCorpusReader
@@ -105,8 +105,13 @@ class TestMultiHostSeams:
             ]
 
         shards = [ids(i, 4) for i in range(4)]
+        # equal-length shards keep the per-batch collectives in lockstep
+        # (data/reader.py _equal_shard): 11 files -> 2 per shard, the
+        # trailing 3 drop rather than leaving some processes a batch ahead
+        assert [len(s) for s in shards] == [2, 2, 2, 2]
         all_ids = sorted(sum(shards, []))
-        assert all_ids == list(range(11))  # complete, no duplicates
+        assert len(set(all_ids)) == 8  # no duplicates
+        assert set(all_ids) <= set(range(11))
         assert all(
             not (set(a) & set(b))
             for i, a in enumerate(shards)
@@ -132,3 +137,17 @@ class TestMultiHostSeams:
             np.asarray(via_put), np.asarray(via_make)
         )
         assert via_make.sharding == sharding
+
+
+def test_make_mesh_explicit_submesh():
+    # an explicit dp only needs dp*mp devices: 6 of the 8 form the mesh
+    mesh = pmesh.make_mesh(data_parallel=2, model_parallel=3)
+    assert mesh.shape["data"] == 2 and mesh.shape["model"] == 3
+    # auto-fill dp still requires mp | device count
+    with pytest.raises(ValueError):
+        pmesh.make_mesh(model_parallel=3)
+
+
+def test_sync_bucket_dims_single_process_identity():
+    # single-process: no collective, dims pass through unchanged
+    assert pmesh.sync_bucket_dims(768, 96) == (768, 96)

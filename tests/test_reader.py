@@ -174,3 +174,31 @@ def test_probe_native_rate_mixed_corpus_returns_none(data_dir):
         os.path.join(data_dir, "train", "9999-0000-0001.flac"), 16000
     )
     assert reader.probe_native_rate("train") == 16000
+
+
+def test_flac_header_rejects_non_streaminfo_first_block(tmp_path):
+    """First metadata block type APPLICATION (2) is even and non-zero: a
+    low-bit-only block-type check would mistake it for STREAMINFO and
+    parse its body bytes as a garbage sample rate."""
+    from speecht_tpu.data.reader import _flac_header_sample_rate
+
+    body = bytearray(34)
+    body[10] = (16000 >> 12) & 0xFF
+    body[11] = (16000 >> 4) & 0xFF
+    body[12] = (16000 & 0xF) << 4
+    p = tmp_path / "app.flac"
+    p.write_bytes(b"fLaC" + bytes([0x02, 0, 0, 34]) + bytes(body))
+    assert _flac_header_sample_rate(str(p)) is None
+
+
+def test_equal_shard_lockstep_lengths():
+    """Multi-process corpus shards are truncated to equal length so the
+    per-batch collectives stay in lockstep (parallel/mesh.py
+    sync_bucket_dims); at most shard_count-1 trailing files drop."""
+    from speecht_tpu.data.reader import _equal_shard
+
+    files = [f"f{i}" for i in range(10)]
+    shards = [_equal_shard(files, i, 3) for i in range(3)]
+    assert [len(s) for s in shards] == [3, 3, 3]
+    union = {f for s in shards for f in s}
+    assert len(union) == 9 and union <= set(files)

@@ -571,6 +571,34 @@ class TestPipeline:
         with pytest.raises(RuntimeError, match="boom"):
             list(loader)
 
+    def test_prefetch_loader_reiterates(self):
+        # a second pass restarts from the generator factory instead of
+        # blocking forever on the drained queue
+        from speecht_tpu.data.pipeline import PrefetchLoader
+
+        def gen():
+            for _ in range(4):
+                yield np.zeros((10, 8), np.float32), [1]
+
+        loader = PrefetchLoader(gen, batch_size=2, device_put=False)
+        first = list(loader)
+        second = list(loader)
+        assert len(first) == len(second) == 2
+        assert first[0].features.shape == second[0].features.shape
+
+    def test_group_by_length_rejected_multiprocess(self, monkeypatch):
+        # per-process bin-fill order is shard-dependent, which breaks the
+        # lockstep the cross-process bucket sync requires
+        from speecht_tpu.data import pipeline
+
+        monkeypatch.setattr(pipeline.jax, "process_count", lambda: 2)
+        with pytest.raises(ValueError, match="group-by-length"):
+            next(
+                pipeline.batch_iterator(
+                    iter([]), batch_size=2, group_by_length=True
+                )
+            )
+
 
 class TestGroupByLength:
     def test_batches_are_length_homogeneous(self):
