@@ -82,6 +82,27 @@ def make_corpus(root: str) -> str:
     return data
 
 
+def make_mixed_corpus(root: str) -> None:
+    """Corpus whose shards disagree on batch shape: one file is 208
+    frames (time bucket 288), the rest 80 (bucket 96). The long file
+    lands in exactly one process's shard, so without the per-batch
+    bucket sync (parallel/mesh.py sync_bucket_dims) the two processes
+    would pad their local batches to different global shapes and the
+    assembled global array / train-step collective would fail."""
+    cache = os.path.join(root, "data", "preprocessed-power", "train")
+    os.makedirs(cache)
+    rng = np.random.RandomState(1)
+    for i in range(N_FILES):
+        frames = 208 if i == 0 else N_FRAMES
+        np.savez(
+            os.path.join(cache, f"synth-{i:03d}"),
+            audio_fragments=rng.randn(frames, INPUT_SIZE).astype(
+                np.float32
+            ),
+            transcript=rng.randint(0, 28, size=LABEL_LEN).astype(np.int64),
+        )
+
+
 def common_flags(root: str, run_name: str) -> list[str]:
     return [
         "--data-dir", os.path.join(root, "data"),
@@ -218,7 +239,30 @@ def main() -> None:
     )
     check_close("dpxtp 2-process steps 1-3", parse_losses(out), base_a, 0.05)
 
-    print("PASS multiprocess drill: dp, checkpoint/resume, dp x tp")
+    print("== mixed-length corpus: per-batch bucket sync (dp) ==", flush=True)
+    root2 = tempfile.mkdtemp(prefix="mp_drill_mixed_")
+    make_mixed_corpus(root2)
+    out = run_single(
+        worker,
+        train_args(root2, "mixbase"),
+        os.path.join(root2, "mixbase.log"),
+    )
+    mix_base = parse_losses(out)
+    assert len(mix_base) == 3, mix_base
+    out = run_two_process(
+        worker, train_args(root2, "mixmp"), os.path.join(root2, "mixmp")
+    )
+    check_close(
+        "mixed-bucket dp 2-process steps 1-3",
+        parse_losses(out),
+        mix_base,
+        0.05,
+    )
+
+    print(
+        "PASS multiprocess drill: dp, checkpoint/resume, dp x tp, "
+        "mixed-bucket sync"
+    )
 
 
 if __name__ == "__main__":
