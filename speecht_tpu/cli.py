@@ -181,7 +181,8 @@ class CLI:
         )
         p.add_argument(
             "--profile-steps", dest="profile_steps", type=str, default=None,
-            help="Capture a jax.profiler trace over steps START:STOP.",
+            help="Capture a jax.profiler trace over steps START:STOP, "
+            "counted from this launch (run-relative, like --max-steps).",
         )
         p.add_argument(
             "--verbose-summaries", dest="verbose_summaries",

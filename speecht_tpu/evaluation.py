@@ -84,15 +84,9 @@ class Evaluation(DatasetExecutor):
                     "--seq-parallel combines only with the cached-feature "
                     "greedy evaluate (not --from-audio/--language-model)"
                 )
-            # slabs must cover the widest kernel (48): pad time buckets to
-            # at least 96 frames per shard
-            min_bucket = 96 * n
-            if self.flags.bucket_step < min_bucket:
-                print(
-                    f"seq-parallel {n}: raising --bucket-step to {min_bucket}"
-                )
-                self.flags.bucket_step = min_bucket
-            return pmesh.make_mesh(data_parallel=1, model_parallel=n)
+            from speecht_tpu.parallel.seq_parallel import make_sp_mesh
+
+            return make_sp_mesh(self.flags, n)
         return super().create_mesh()
 
     def determine_input_size(self) -> int:
@@ -152,8 +146,11 @@ class Evaluation(DatasetExecutor):
         )
 
     def get_loader_limit_count(self) -> int:
-        # per-process: each process evaluates its shard of every batch
-        return self.flags.step_count * self.local_batch_size()
+        # GLOBAL file budget: the reader truncates the file list BEFORE
+        # sharding it across processes (data/reader.py load_samples), so
+        # the limit must cover step_count full global batches — each
+        # process then keeps step_count * local_batch files of it
+        return self.flags.step_count * self.flags.batch_size
 
     def get_max_steps(self):
         return self.flags.step_count or None
@@ -270,10 +267,16 @@ class Evaluation(DatasetExecutor):
             )
         else:
             state = ckpt.restore(state)  # fatal when missing (parity)
+        # multi-process: the restored state is process-local; jit over a
+        # mesh spanning processes needs global arrays (identity otherwise)
+        state = pmesh.replicate(state, self.mesh)
+
+        import jax
 
         eval_step = self.make_decoder()
         writer = None
-        if getattr(flags, "should_save", False):
+        # process 0 only: one event file per run (training.py does the same)
+        if getattr(flags, "should_save", False) and jax.process_index() == 0:
             writer = SummaryWriter(
                 os.path.join(
                     flags.log_dir, f"{flags.run_name}_{flags.run_type}"
@@ -315,16 +318,21 @@ class Evaluation(DatasetExecutor):
         dec_lengths,
         verbose: bool = False,
     ):
-        decoded = np.asarray(decoded)
-        dec_lengths = np.asarray(dec_lengths)
-        labels = np.asarray(batch.labels)
-        label_lengths = np.asarray(batch.label_lengths)
+        # host_global: multi-host arrays span non-addressable devices
+        # and jit outputs may come back data-sharded or replicated —
+        # every process fetches the full global rows (lockstep
+        # all-gather) and tracks identical statistics, so no
+        # cross-process reduction is needed afterwards
+        decoded = pmesh.host_global(decoded)
+        dec_lengths = pmesh.host_global(dec_lengths)
+        labels = pmesh.host_global(batch.labels)
+        label_lengths = pmesh.host_global(batch.label_lengths)
         # Batch carries seq_lengths (feature frames); AudioBatch carries
         # num_samples — either marks padded rows with 0
         if hasattr(batch, "seq_lengths"):
-            seq_lengths = np.asarray(batch.seq_lengths)
+            seq_lengths = pmesh.host_global(batch.seq_lengths)
         else:
-            seq_lengths = np.asarray(batch.num_samples)
+            seq_lengths = pmesh.host_global(batch.num_samples)
 
         for i in range(decoded.shape[0]):
             if seq_lengths[i] == 0:  # padded row of a partial batch

@@ -99,7 +99,11 @@ class DatasetExecutor(abc.ABC):
                 data_parallel=getattr(self.flags, "data_parallel", 0),
                 model_parallel=getattr(self.flags, "model_parallel", 1),
             )
-        except (ValueError, RuntimeError):
+        except RuntimeError:
+            # no usable device backend: run unsharded. A ValueError is a
+            # user config error (--data-parallel/--model-parallel that
+            # cannot tile the devices) and must propagate, not silently
+            # drop the requested parallelism.
             return None
 
     def determine_input_size(self) -> int:

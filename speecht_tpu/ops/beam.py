@@ -34,6 +34,7 @@ import numpy as np
 from speecht_tpu import native, vocabulary
 from speecht_tpu.models.wav2letter import output_length
 from speecht_tpu.ops import decode as decode_ops
+from speecht_tpu.parallel import mesh as pmesh
 from speecht_tpu.train import step as tstep
 
 
@@ -301,18 +302,24 @@ class BeamSearchDecoder:
             # and short batches stop paying for the full logit width
             t_max = int(np.max(lengths)) if B else 0
             t_bucket = min(T, max(32, -(-t_max // 32) * 32))
+            # multi-host: lengths are process-local rows, but the jitted
+            # search is one SPMD program — all processes must trace the
+            # same bucket (identity single-process)
+            t_bucket = int(pmesh.sync_bucket_dims(t_bucket)[0])
             announce_ready = self._announce_bucket(B, t_bucket)
             if self.rescore_n:
                 # stage 1: pure-acoustic n-best (all fusion weights zero)
                 ids, lens, scores = self._beam_fn(
                     logp[:, :t_bucket], lengths, 0.0, 0.0, 0.0
                 )
-                ids = np.asarray(ids)  # sync: compile + run complete here
+                # host_global == np.asarray single-process; multi-host
+                # it all-gathers the full rows (sync: run complete)
+                ids = pmesh.host_global(ids)
                 announce_ready()
                 return self._rescore(
                     ids,
-                    np.asarray(lens),
-                    np.asarray(scores),
+                    pmesh.host_global(lens),
+                    pmesh.host_global(scores),
                     lm_w,
                     wc_w,
                     vwc_w,
@@ -320,9 +327,9 @@ class BeamSearchDecoder:
             ids, out_lengths = self._beam_fn(
                 logp[:, :t_bucket], lengths, lm_w, wc_w, vwc_w
             )
-            ids = np.asarray(ids)  # sync: compile + run complete here
+            ids = pmesh.host_global(ids)  # sync: compile + run complete
             announce_ready()
-            return ids, np.asarray(out_lengths)
+            return ids, pmesh.host_global(out_lengths)
 
         out = np.full((B, T), vocabulary.PAD_ID, dtype=np.int32)
         out_lengths = np.zeros(B, dtype=np.int32)
@@ -342,7 +349,13 @@ class BeamSearchDecoder:
         for i, ids in self._pool.map(one, range(B)):
             out[i, : len(ids)] = ids
             out_lengths[i] = len(ids)
-        return out, out_lengths
+        # multi-host: each process beamed its own shard's rows (the beam
+        # work divides across hosts); reassemble the global batch so the
+        # caller's tracking sees every row (identity single-process)
+        return (
+            pmesh.allgather_host_rows(out),
+            pmesh.allgather_host_rows(out_lengths),
+        )
 
     def _rescore(self, ids, lens, scores, lm_w, wc_w, vwc_w):
         """Stage 2 of ``--rescore``: add the fusion bonus to each n-best
@@ -390,8 +403,13 @@ class BeamSearchDecoder:
         """(loss, decoded_ids, decoded_lengths) — drop-in for make_eval_step."""
         avg_loss, logp, lengths = self._device_part(params, batch)
         if not self.device_beam:
-            logp = np.asarray(logp)
-        lengths = np.asarray(lengths)
+            # each process host-beams its own shard rows
+            logp = pmesh.local_rows(logp)
+            lengths = pmesh.local_rows(lengths)
+        else:
+            # the jitted device beam consumes the GLOBAL logp, so the
+            # length vector must cover the global batch too
+            lengths = pmesh.host_global(lengths)
         decoded, dec_lengths = self.decode_emissions(
             logp, lengths, **weight_overrides
         )
@@ -421,8 +439,11 @@ class BeamSearchDecoder:
         # vector crosses to pick the scan bucket, then the beam runs on the
         # device-resident slice
         if not self.device_beam:
-            logp = np.asarray(logp)  # blocks until the forward is done
-        lengths = np.asarray(lengths)
+            # blocks until the forward is done; each process beams its rows
+            logp = pmesh.local_rows(logp)
+            lengths = pmesh.local_rows(lengths)
+        else:
+            lengths = pmesh.host_global(lengths)
         decoded, dec_lengths = self.decode_emissions(
             logp, lengths, **weight_overrides
         )

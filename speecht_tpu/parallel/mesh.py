@@ -178,6 +178,69 @@ def sync_bucket_dims(*dims: int) -> tuple[int, ...]:
     return tuple(int(x) for x in np.max(gathered, axis=0))
 
 
+def local_rows(x) -> np.ndarray:
+    """Host numpy view of this process's rows (dim 0) of an array.
+
+    Single-process, fully-addressable, or fully-replicated arrays convert
+    whole. For a data-sharded multi-host global array, returns the
+    addressable rows in row order — the SAME rows for every array with
+    the same sharding, so e.g. decoded rows stay aligned with their
+    labels when both came out of one jitted step.
+    """
+    if not hasattr(x, "addressable_shards") or x.is_fully_addressable:
+        return np.asarray(x)
+    by_start: dict[int, np.ndarray] = {}
+    for s in x.addressable_shards:
+        start = (s.index[0].start or 0) if s.index else 0
+        if start not in by_start:  # dedup model-axis replicas
+            by_start[start] = np.asarray(s.data)
+    rows = np.concatenate([by_start[k] for k in sorted(by_start)], axis=0)
+    if rows.shape[0] == x.shape[0] and jax.process_count() > 1:
+        # replicated over the data axis (jit propagation can emit either
+        # layout): every process holds all rows, so "this process's
+        # share" is its contiguous block — without this, callers that
+        # later allgather_host_rows would duplicate every row
+        per = x.shape[0] // jax.process_count()
+        p = jax.process_index()
+        return rows[p * per : (p + 1) * per]
+    return rows
+
+
+def host_global(x) -> np.ndarray:
+    """Full host copy of a possibly multi-host array.
+
+    Fully-addressable arrays convert directly. A multi-host global array
+    is first replicated through a jitted identity (an all-gather over the
+    interconnect — every process must call this in lockstep), then read
+    locally. Use for small per-batch outputs (decoded ids, lengths,
+    labels) that host-side tracking needs whole; jit outputs may come
+    back data-sharded OR replicated depending on propagation, and this
+    normalizes either to the full global view.
+    """
+    if not hasattr(x, "addressable_shards") or x.is_fully_addressable:
+        return np.asarray(x)
+    mesh = getattr(x.sharding, "mesh", None) or get_mesh()
+    rep = jax.jit(lambda a: a, out_shardings=NamedSharding(mesh, P()))(x)
+    return np.asarray(rep)
+
+
+def allgather_host_rows(x: np.ndarray) -> np.ndarray:
+    """Concatenate per-process host arrays along dim 0 in process order
+    (identity single-process).
+
+    Inverse of :func:`local_rows` for contiguous data sharding: process
+    p holds global rows [p*local : (p+1)*local] (mesh devices are
+    ordered by process), so the concatenation restores global row order.
+    """
+    if jax.process_count() <= 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(
+        multihost_utils.process_allgather(np.asarray(x), tiled=True)
+    )
+
+
 def shard_batch(batch, mesh: Mesh | None = None):
     """Put a host batch pytree on device, sharded on the data axis (dim 0).
 

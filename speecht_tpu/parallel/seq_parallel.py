@@ -95,6 +95,23 @@ def sp_forward_local(params, x_local, config, axis_name: str):
     return y.astype(jnp.float32)
 
 
+def make_sp_mesh(flags, n: int) -> Mesh:
+    """The ``--seq-parallel N`` mesh shared by train and evaluate.
+
+    Enforces the slab-coverage rule in one place: per-device slabs must
+    cover the widest kernel (48 frames) even after the stride-2 layer,
+    so time buckets are floored at 96 frames per shard (mutates
+    ``flags.bucket_step`` so the pipeline buckets accordingly).
+    """
+    from speecht_tpu.parallel import mesh as pmesh
+
+    min_bucket = 96 * n
+    if flags.bucket_step < min_bucket:
+        print(f"seq-parallel {n}: raising --bucket-step to {min_bucket}")
+        flags.bucket_step = min_bucket
+    return pmesh.make_mesh(data_parallel=1, model_parallel=n)
+
+
 def validate_sp_length(T: int, n: int, config) -> None:
     """Shape preconditions for an n-way time shard (raises ValueError)."""
     max_width = max(w for w, _s, _f, _r in config.layer_specs)

@@ -79,6 +79,18 @@ class LanguageModelParameterSearch(Evaluation):
     """Local search over the three decode weights on the dev set."""
 
     def __init__(self, flags):
+        import jax
+
+        if jax.process_count() > 1:
+            # the search is host-driven state (unseeded mutations, a
+            # population each process would evolve differently) and its
+            # emission cache reads device arrays back per candidate —
+            # running it distributed would silently score candidates on
+            # divergent data. Launch it single-process.
+            raise ValueError(
+                "search runs single-process; launch it without the "
+                "distributed environment (JAX_COORDINATOR_ADDRESS etc.)"
+            )
         super().__init__(flags)
         self.candidates: list[Candidate] = []
         self.num_iterations = 0

@@ -12,6 +12,8 @@ and unit-testable without audio hardware.
 
 from __future__ import annotations
 
+import contextlib
+
 import numpy as np
 
 
@@ -100,6 +102,31 @@ class AudioRecorder:
             np.concatenate(chunks), self.rate, self.threshold
         )
         return audio, sample_width
+
+    @contextlib.contextmanager
+    def open_input_stream(self):
+        """Raw ungated input stream (streaming transcription).
+
+        Yields a ``read() -> np.ndarray`` callable returning one
+        ``chunk_size`` float32 chunk per call; the stream closes on exit.
+        Keeps all pyaudio stream knowledge inside the recorder —
+        ``record()`` and the streaming path must not drift apart.
+        """
+        pa = self._pyaudio_mod
+        stream = self._pyaudio.open(
+            format=pa.paFloat32,
+            channels=1,
+            rate=self.rate,
+            input=True,
+            frames_per_buffer=self.chunk_size,
+        )
+        try:
+            yield lambda: np.frombuffer(
+                stream.read(self.chunk_size), dtype=np.float32
+            )
+        finally:
+            stream.stop_stream()
+            stream.close()
 
     def terminate(self):
         self._pyaudio.terminate()

@@ -98,36 +98,25 @@ class Recording:
             from speecht_tpu.ops.beam import BeamSearchDecoder
 
             beam = BeamSearchDecoder(model, lm_flags)
-        pa = recorder._pyaudio_mod
-        stream = recorder._pyaudio.open(
-            format=pa.paFloat32,
-            channels=1,
-            rate=sample_rate,
-            input=True,
-            frames_per_buffer=recorder.chunk_size,
-        )
-        print("Streaming transcription (ctrl-c to stop)")
-        try:
-            while True:
-                chunk = np.frombuffer(
-                    stream.read(recorder.chunk_size), dtype=np.float32
-                )
-                partial = rec.accept_chunk(chunk)
-                if beam is not None and beam.lm is not None:
-                    partial = rec.partial_text_fused(
-                        beam.lm,
-                        lm_weight=beam.lm_config.lm_weight,
-                        word_count_weight=beam.lm_config.word_count_weight,
-                        valid_word_count_weight=(
-                            beam.lm_config.valid_word_count_weight
-                        ),
-                    )
-                print(f"\rpartial: {partial}", end="", flush=True)
-        except KeyboardInterrupt:
-            print()
-            final = rec.finalize(beam=beam)
-            print(f"decoded: {final}")
-            return final
-        finally:
-            stream.stop_stream()
-            stream.close()
+        with recorder.open_input_stream() as read_chunk:
+            print("Streaming transcription (ctrl-c to stop)")
+            try:
+                while True:
+                    partial = rec.accept_chunk(read_chunk())
+                    if beam is not None and beam.lm is not None:
+                        partial = rec.partial_text_fused(
+                            beam.lm,
+                            lm_weight=beam.lm_config.lm_weight,
+                            word_count_weight=(
+                                beam.lm_config.word_count_weight
+                            ),
+                            valid_word_count_weight=(
+                                beam.lm_config.valid_word_count_weight
+                            ),
+                        )
+                    print(f"\rpartial: {partial}", end="", flush=True)
+            except KeyboardInterrupt:
+                print()
+                final = rec.finalize(beam=beam)
+                print(f"decoded: {final}")
+                return final

@@ -62,16 +62,9 @@ class Training(DatasetExecutor):
 
     def create_mesh(self):
         if self.seq_parallel > 1:
-            n = self.seq_parallel
-            # slabs must cover the widest kernel (48): pad time buckets to
-            # at least 96 frames per shard (same rule as SP evaluate)
-            min_bucket = 96 * n
-            if self.flags.bucket_step < min_bucket:
-                print(
-                    f"seq-parallel {n}: raising --bucket-step to {min_bucket}"
-                )
-                self.flags.bucket_step = min_bucket
-            return pmesh.make_mesh(data_parallel=1, model_parallel=n)
+            from speecht_tpu.parallel.seq_parallel import make_sp_mesh
+
+            return make_sp_mesh(self.flags, self.seq_parallel)
         return super().create_mesh()
 
     def create_sample_generator(self, limit_count: int):
@@ -200,6 +193,11 @@ class Training(DatasetExecutor):
         # state.step back from the device (the device copy stays
         # authoritative for checkpointing)
         global_step = int(state.step)
+        # --profile-steps is RUN-relative (like --max-steps): a restored
+        # run profiles steps counted from this launch, not from the
+        # absolute global step, so "5:10" fires no matter where the
+        # checkpoint left off
+        start_step = global_step
         acc = pmesh.replicate(tstep.init_metrics_acc(), self.mesh)
         param_summarizer = tsummaries.make_param_summarizer(
             with_images=verbose
@@ -217,7 +215,7 @@ class Training(DatasetExecutor):
                 if (
                     profile_range
                     and not profiling
-                    and global_step == profile_range[0]
+                    and global_step - start_step == profile_range[0]
                 ):
                     try:
                         jax.profiler.start_trace(
@@ -260,7 +258,7 @@ class Training(DatasetExecutor):
 
                     _np.asarray(acc["count"])  # wait for this step
                     profile_times.append(time.time() - t0)
-                if profiling and global_step >= profile_range[1]:
+                if profiling and global_step - start_step >= profile_range[1]:
                     if profiling == "trace":
                         jax.profiler.stop_trace()
                         print(

@@ -89,18 +89,28 @@ def make_mixed_corpus(root: str) -> None:
     bucket sync (parallel/mesh.py sync_bucket_dims) the two processes
     would pad their local batches to different global shapes and the
     assembled global array / train-step collective would fail."""
-    cache = os.path.join(root, "data", "preprocessed-power", "train")
-    os.makedirs(cache)
     rng = np.random.RandomState(1)
+    # identical train and test splits: the test split feeds the
+    # 2-process `evaluate` phase (local-row tracking + stats reduction)
+    samples = []
     for i in range(N_FILES):
         frames = 208 if i == 0 else N_FRAMES
-        np.savez(
-            os.path.join(cache, f"synth-{i:03d}"),
-            audio_fragments=rng.randn(frames, INPUT_SIZE).astype(
-                np.float32
-            ),
-            transcript=rng.randint(0, 28, size=LABEL_LEN).astype(np.int64),
+        samples.append(
+            (
+                f"synth-{i:03d}",
+                rng.randn(frames, INPUT_SIZE).astype(np.float32),
+                rng.randint(0, 28, size=LABEL_LEN).astype(np.int64),
+            )
         )
+    for split in ("train", "test"):
+        cache = os.path.join(root, "data", "preprocessed-power", split)
+        os.makedirs(cache)
+        for name, frags, transcript in samples:
+            np.savez(
+                os.path.join(cache, name),
+                audio_fragments=frags,
+                transcript=transcript,
+            )
 
 
 def common_flags(root: str, run_name: str) -> list[str]:
@@ -142,6 +152,21 @@ def free_port() -> int:
 
 def parse_losses(text: str) -> list[float]:
     return [float(m) for m in re.findall(r"average loss (\S+)", text)]
+
+
+def parse_global_stats(text: str) -> list[float]:
+    m = re.search(
+        r"Global statistics\s*\nLED: (\S+) LER: (\S+) WED: (\S+) WER: (\S+)",
+        text,
+    )
+    assert m, text[-2000:]
+    return [float(g) for g in m.groups()]
+
+
+def eval_args(root: str, run_name: str) -> list[str]:
+    return [
+        "evaluate", "--test", "--no-save", "--step-count", "1",
+    ] + common_flags(root, run_name)
 
 
 def run_single(worker: str, args: list[str], log: str) -> str:
@@ -259,9 +284,34 @@ def main() -> None:
         0.05,
     )
 
+    print("== 2-process evaluate (greedy, mixed corpus) ==", flush=True)
+    # both runs restore the SAME checkpoint (the 2-process-trained one),
+    # so per-row logits are identical and the global statistics must
+    # agree: covers per-process row tracking and the counter reduction
+    out = run_single(
+        worker,
+        eval_args(root2, "mixmp"),
+        os.path.join(root2, "evalbase.log"),
+    )
+    eval_base_loss = parse_losses(out)
+    eval_base_stats = parse_global_stats(out)
+    assert len(eval_base_loss) == 1, eval_base_loss
+    out = run_two_process(
+        worker, eval_args(root2, "mixmp"), os.path.join(root2, "evalmp")
+    )
+    check_close(
+        "eval 2-process loss", parse_losses(out), eval_base_loss, 0.05
+    )
+    check_close(
+        "eval 2-process global stats",
+        parse_global_stats(out),
+        eval_base_stats,
+        0.05,
+    )
+
     print(
         "PASS multiprocess drill: dp, checkpoint/resume, dp x tp, "
-        "mixed-bucket sync"
+        "mixed-bucket sync, evaluate"
     )
 
 
