@@ -46,7 +46,12 @@ def _needs_rebuild() -> bool:
     if not os.path.exists(_LIB_PATH):
         return True
     lib_mtime = os.path.getmtime(_LIB_PATH)
-    for src in _SOURCES:
+    # headers too: an lm.h interface change without a same-commit .cpp
+    # edit must not keep loading the stale ABI
+    tracked = _SOURCES + [
+        f for f in os.listdir(_HERE) if f.endswith(".h")
+    ]
+    for src in tracked:
         p = os.path.join(_HERE, src)
         if os.path.exists(p) and os.path.getmtime(p) > lib_mtime:
             return True

@@ -192,69 +192,47 @@ struct LanguageModel {
 };
 
 ArpaScorer* parse_arpa(const char* arpa_path) {
-  std::ifstream f(arpa_path);
-  if (!f.good()) return nullptr;
   auto lm = std::make_unique<ArpaScorer>();
-
-  std::string line;
-  int current_order = 0;
-  bool in_data = false;
   std::vector<uint64_t> counts;
 
-  while (std::getline(f, line)) {
-    // strip \r
-    while (!line.empty() && (line.back() == '\r' || line.back() == '\n'))
-      line.pop_back();
-    if (line == "\\data\\") { in_data = true; continue; }
-    if (in_data && line.rfind("ngram ", 0) == 0) {
-      // "ngram N=count"
-      size_t eq = line.find('=');
-      if (eq != std::string::npos) {
-        int n = std::atoi(line.c_str() + 6);
-        uint64_t cnt = std::strtoull(line.c_str() + eq + 1, nullptr, 10);
+  // shared grammar (lm.h parse_arpa_stream): the order cap (12) matches
+  // the binary reader and, more importantly, score()'s fixed
+  // uint32_t ids[16] stack buffer — an unchecked \17-grams: section
+  // would overflow it
+  int order = speecht::parse_arpa_stream(
+      arpa_path, 12,
+      [&](int n, uint64_t cnt) {
         if ((int)counts.size() < n) counts.resize(n, 0);
         counts[n - 1] = cnt;
-      }
-      continue;
-    }
-    if (line.size() > 2 && line[0] == '\\' && line.find("-grams:") != std::string::npos) {
-      current_order = std::atoi(line.c_str() + 1);
-      if (lm->order_ < current_order) lm->order_ = current_order;
-      if ((int)lm->ngrams.size() < current_order) lm->ngrams.resize(current_order);
-      if (current_order >= 1 && counts.size() >= (size_t)current_order)
-        lm->ngrams[current_order - 1].reserve(counts[current_order - 1] * 2);
-      continue;
-    }
-    if (line == "\\end\\") break;
-    if (current_order == 0 || line.empty()) continue;
-
-    // entry: logprob \t w1 w2 ... \t backoff?
-    std::istringstream ss(line);
-    float logprob;
-    if (!(ss >> logprob)) continue;
-    std::vector<std::string> words(current_order);
-    bool ok = true;
-    for (int i = 0; i < current_order; ++i)
-      if (!(ss >> words[i])) { ok = false; break; }
-    if (!ok) continue;
-    float backoff = 0.0f;
-    ss >> backoff;  // optional
-
-    // intern words (unigram section defines the id space)
-    std::vector<uint32_t> ids(current_order);
-    for (int i = 0; i < current_order; ++i) {
-      auto it = lm->word_ids.find(words[i]);
-      if (it == lm->word_ids.end()) {
-        uint32_t id = (uint32_t)lm->word_ids.size();
-        lm->word_ids.emplace(words[i], id);
-        ids[i] = id;
-      } else {
-        ids[i] = it->second;
-      }
-    }
-    lm->ngrams[current_order - 1][ArpaScorer::key(ids.data(), current_order)] =
-        NGramEntry{logprob, backoff};
-  }
+      },
+      [&](int n, float logprob, const std::vector<std::string>& words,
+          float backoff) {
+        if ((int)lm->ngrams.size() < n) {
+          lm->ngrams.resize(n);
+          // reserve from the declared \data\ counts on first entry
+          if (counts.size() >= (size_t)n)
+            lm->ngrams[n - 1].reserve(counts[n - 1] * 2);
+        }
+        // intern words (unigram section defines the id space)
+        uint32_t ids[16];  // n <= 12 enforced by the parser
+        for (int i = 0; i < n; ++i) {
+          auto it = lm->word_ids.find(words[i]);
+          if (it == lm->word_ids.end()) {
+            uint32_t id = (uint32_t)lm->word_ids.size();
+            lm->word_ids.emplace(words[i], id);
+            ids[i] = id;
+          } else {
+            ids[i] = it->second;
+          }
+        }
+        lm->ngrams[n - 1][ArpaScorer::key(ids, n)] =
+            NGramEntry{logprob, backoff};
+      });
+  if (order < 0) return nullptr;  // unreadable file or order out of range
+  lm->order_ = order;
+  // an order whose section held no entries must still have a map to
+  // probe (find() indexes ngrams[n-1] for any n <= order_)
+  if ((int)lm->ngrams.size() < order) lm->ngrams.resize(order);
 
   auto unk = lm->word_ids.find("<unk>");
   if (unk != lm->word_ids.end()) {
@@ -334,6 +312,20 @@ struct Node {
   int32_t slot_idx = -1;
 };
 
+// Push a completed word id into a 4-slot history ring (most recent
+// last); returns the new length. The in-beam fusion, the sentence
+// scorer (st_lm_score_sentence), and the streaming context seed must
+// all apply this exact rule — rescore/device parity depends on it.
+inline int push_ring(uint32_t* hist, int len, uint32_t wid) {
+  if (len < 4) {
+    hist[len] = wid;
+    return len + 1;
+  }
+  for (int i = 0; i < 3; ++i) hist[i] = hist[i + 1];
+  hist[3] = wid;
+  return 4;
+}
+
 struct Arena {
   std::vector<Node> nodes;
   // continuation mode: trailing partial word of the committed transcript —
@@ -387,12 +379,7 @@ struct Arena {
           for (int i = 0; i < n.hist_len; ++i) hist[hn++] = n.hist[i];
           uint32_t wid = lm->word_id(w);
           n.lm_score += lm_weight * lm->score(hist, hn, wid) * (float)kLog10;
-          if (n.hist_len < 4) {
-            n.hist[n.hist_len++] = wid;
-          } else {
-            for (int i = 0; i < 3; ++i) n.hist[i] = n.hist[i + 1];
-            n.hist[3] = wid;
-          }
+          n.hist_len = (int8_t)push_ring(n.hist, n.hist_len, wid);
         }
       }
     }
@@ -481,12 +468,7 @@ void st_lm_score_sentence(void* lm_ptr, const char* text, float* lm_sum,
       for (int i = 0; i < ring_n; ++i) hist[hn++] = ring[i];
       uint32_t wid = lm->word_id(w);
       *lm_sum += lm->score(hist, hn, wid);
-      if (ring_n < 4) {
-        ring[ring_n++] = wid;
-      } else {
-        for (int i = 0; i < 3; ++i) ring[i] = ring[i + 1];
-        ring[3] = wid;
-      }
+      ring_n = push_ring(ring, ring_n, wid);
     }
   }
 }
@@ -529,12 +511,7 @@ static int beam_search_impl(
     while (ss >> w) {
       if (!lm || lm->order == 0) break;
       uint32_t wid = lm->word_id(w);
-      if (root.hist_len < 4) {
-        root.hist[root.hist_len++] = wid;
-      } else {
-        for (int i = 0; i < 3; ++i) root.hist[i] = root.hist[i + 1];
-        root.hist[3] = wid;
-      }
+      root.hist_len = (int8_t)push_ring(root.hist, root.hist_len, wid);
     }
   }
   if (last_char_id >= 0) arena.nodes[0].ch = (int8_t)last_char_id;

@@ -358,13 +358,29 @@ bool parse_strings(const std::vector<char>& data, uint64_t start,
 }
 
 bool KenlmBinaryScorer::load(const char* path, std::string* err) {
-  std::ifstream f(path, std::ios::binary);
-  if (!f.good()) {
+  // one sized fread, not an istreambuf_iterator copy: production KenLM
+  // binaries are hundreds of MB and the byte-at-a-time stream read plus
+  // reallocating vector growth costs seconds-to-minutes of startup
+  FILE* f = fopen(path, "rb");
+  if (!f) {
     *err = "cannot open file";
     return false;
   }
-  data_.assign(std::istreambuf_iterator<char>(f),
-               std::istreambuf_iterator<char>());
+  fseek(f, 0, SEEK_END);
+  long n = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  if (n < 0) {
+    fclose(f);
+    *err = "cannot stat file";
+    return false;
+  }
+  data_.resize((size_t)n);
+  bool read_ok = fread(data_.data(), 1, (size_t)n, f) == (size_t)n;
+  fclose(f);
+  if (!read_ok) {
+    *err = "short read";
+    return false;
+  }
   if (data_.size() < 128 ||
       std::memcmp(data_.data(), kMagicPrefix, sizeof(kMagicPrefix) - 1)) {
     *err = "not a KenLM binary (magic mismatch)";
@@ -521,15 +537,6 @@ bool probing_insert(std::vector<char>& buf, uint64_t base, uint64_t buckets,
 
 int write_kenlm_binary_impl(const char* arpa_path, const char* out_path,
                             std::string* err) {
-  std::ifstream f(arpa_path);
-  if (!f.good()) {
-    *err = "cannot open ARPA file";
-    return 1;
-  }
-
-  std::string line;
-  int order = 0, current = 0;
-  bool in_data = false;
   std::vector<uint64_t> counts;
   std::unordered_map<std::string, uint32_t> vocab;
   std::vector<std::string> words;  // id order
@@ -552,55 +559,37 @@ int write_kenlm_binary_impl(const char* arpa_path, const char* out_path,
   };
   intern("<unk>");  // id 0 always exists
 
-  while (std::getline(f, line)) {
-    while (!line.empty() && (line.back() == '\r' || line.back() == '\n'))
-      line.pop_back();
-    if (line == "\\data\\") {
-      in_data = true;
-      continue;
-    }
-    if (in_data && line.rfind("ngram ", 0) == 0) {
-      size_t eq = line.find('=');
-      if (eq != std::string::npos) {
-        int n = std::atoi(line.c_str() + 6);
-        uint64_t cnt = std::strtoull(line.c_str() + eq + 1, nullptr, 10);
+  // shared grammar (lm.h parse_arpa_stream); the order cap matches the
+  // reader's `order > 12` rejection so a converted binary always loads
+  int order = speecht::parse_arpa_stream(
+      arpa_path, 12,
+      [&](int n, uint64_t cnt) {
         if ((int)counts.size() < n) counts.resize(n, 0);
         counts[n - 1] = cnt;
-      }
-      continue;
-    }
-    if (line.size() > 2 && line[0] == '\\' &&
-        line.find("-grams:") != std::string::npos) {
-      current = std::atoi(line.c_str() + 1);
-      if (order < current) order = current;
-      if ((int)grams.size() < current) grams.resize(current);
-      continue;
-    }
-    if (line == "\\end\\") break;
-    if (current == 0 || line.empty()) continue;
-
-    std::istringstream ss(line);
-    ArpaEntry e;
-    if (!(ss >> e.prob)) continue;
-    e.ids.resize(current);
-    bool ok = true;
-    std::string w;
-    for (int i = 0; i < current; ++i) {
-      if (!(ss >> w)) {
-        ok = false;
-        break;
-      }
-      e.ids[i] = intern(w);
-    }
-    if (!ok) continue;
-    e.backoff = 0.0f;
-    ss >> e.backoff;
-    grams[current - 1].push_back(std::move(e));
+      },
+      [&](int n, float prob, const std::vector<std::string>& ws,
+          float backoff) {
+        if ((int)grams.size() < n) grams.resize(n);
+        ArpaEntry e;
+        e.prob = prob;
+        e.backoff = backoff;
+        e.ids.resize(n);
+        for (int i = 0; i < n; ++i) e.ids[i] = intern(ws[i]);
+        grams[n - 1].push_back(std::move(e));
+      });
+  if (order == -2) {
+    *err = "cannot open ARPA file";
+    return 1;
+  }
+  if (order == -1) {
+    *err = "ARPA order exceeds the supported maximum (12)";
+    return 1;
   }
   if (order == 0) {
     *err = "no n-grams parsed from ARPA";
     return 1;
   }
+  grams.resize(order);
   counts.resize(order);
   for (int n = 0; n < order; ++n) counts[n] = grams[n].size();
 
@@ -655,7 +644,14 @@ int write_kenlm_binary_impl(const char* arpa_path, const char* out_path,
     }
   }
 
-  // unigrams: direct-indexed array
+  // unigrams: direct-indexed array. Slot 0 (<unk>) gets the same -10
+  // floor ArpaScorer uses BEFORE the entries are written: an ARPA built
+  // without a <unk> unigram must not leave log10 P(<unk>) = 0.0 (i.e.
+  // probability 1 for every OOV word, which would make garbage letter
+  // sequences outscore real words in the beam). A real <unk> entry in
+  // grams[0] overwrites the floor.
+  put_f32(buf, lay.unigram, -10.0f);
+  put_f32(buf, lay.unigram + 4, 0.0f);
   for (const auto& e : grams[0]) {
     uint64_t off = lay.unigram + e.ids[0] * kProbBackoffBytes;
     put_f32(buf, off, e.prob);

@@ -68,6 +68,10 @@ bool parse_zip(const std::vector<uint8_t>& buf, std::vector<ZipEntry>& out) {
     uint16_t extra_len = rd16(&buf[p + 30]);
     uint16_t comment_len = rd16(&buf[p + 32]);
     e.header_offset = rd32(&buf[p + 42]);
+    // truncated central directory: the fixed header fit but the
+    // variable-length fields run past the buffer
+    if (p + 46 + (size_t)name_len + extra_len + comment_len > buf.size())
+      return false;
     e.name.assign((const char*)&buf[p + 46], name_len);
     out.push_back(std::move(e));
     p += 46 + name_len + extra_len + comment_len;
@@ -147,11 +151,17 @@ bool parse_npy(const std::vector<uint8_t>& npy, char* type_char,
     while (*c == ' ' || *c == ',') ++c;
     if (!*c) break;
     int64_t d = strtoll(c, (char**)&c, 10);
+    // negative or overflow-inducing dims: a corrupt header must fail the
+    // parse, not wrap count*item_size modulo 2^64 past the size check
+    if (d < 0) return false;
+    if (d != 0 && *count > SIZE_MAX / (size_t)d) return false;
     shape[(*ndim)++] = d;
     *count *= (size_t)d;
   }
   *data = npy.data() + header_off + header_len;
-  if (header_off + header_len + *count * *item_size > npy.size()) return false;
+  if (*item_size <= 0) return false;
+  size_t avail = npy.size() - header_off - header_len;
+  if (*count > avail / (size_t)*item_size) return false;
   return true;
 }
 
@@ -184,6 +194,13 @@ int st_npz_load_sample(const char* path, float** features,
                        int64_t* transcript_len) {
   *features = nullptr;
   *transcript = nullptr;
+  // every error path releases whatever was already allocated: a caller
+  // scanning a damaged cache must not leak one buffer per bad file
+  auto fail = [&](int code) {
+    if (*features) { free(*features); *features = nullptr; }
+    if (*transcript) { free(*transcript); *transcript = nullptr; }
+    return code;
+  };
   std::vector<uint8_t> buf;
   if (!read_file(path, buf)) return -1;
   std::vector<ZipEntry> entries;
@@ -193,49 +210,49 @@ int st_npz_load_sample(const char* path, float** features,
   for (const ZipEntry& e : entries) {
     if (e.name == "audio_fragments.npy") {
       std::vector<uint8_t> npy;
-      if (!extract_entry(buf, e, npy)) return -3;
+      if (!extract_entry(buf, e, npy)) return fail(-3);
       char tc;
       int isz;
       int64_t shape[4];
       int32_t ndim;
       const uint8_t* data;
       size_t count;
-      if (!parse_npy(npy, &tc, &isz, shape, &ndim, &data, &count)) return -4;
-      if (ndim != 2) return -5;
+      if (!parse_npy(npy, &tc, &isz, shape, &ndim, &data, &count))
+        return fail(-4);
+      if (ndim != 2) return fail(-5);
       float* out = (float*)malloc(count * sizeof(float));
       if (!convert_any<float>(tc, isz, data, out, count)) {
         free(out);
-        return -6;
+        return fail(-6);
       }
+      if (*features) free(*features);  // duplicate entry: keep the last
       *features = out;
       feat_shape[0] = shape[0];
       feat_shape[1] = shape[1];
       got_feat = true;
     } else if (e.name == "transcript.npy") {
       std::vector<uint8_t> npy;
-      if (!extract_entry(buf, e, npy)) return -7;
+      if (!extract_entry(buf, e, npy)) return fail(-7);
       char tc;
       int isz;
       int64_t shape[4];
       int32_t ndim;
       const uint8_t* data;
       size_t count;
-      if (!parse_npy(npy, &tc, &isz, shape, &ndim, &data, &count)) return -8;
+      if (!parse_npy(npy, &tc, &isz, shape, &ndim, &data, &count))
+        return fail(-8);
       int32_t* out = (int32_t*)malloc(count * sizeof(int32_t));
       if (!convert_any<int32_t>(tc, isz, data, out, count)) {
         free(out);
-        return -9;
+        return fail(-9);
       }
+      if (*transcript) free(*transcript);
       *transcript = out;
       *transcript_len = (int64_t)count;
       got_tr = true;
     }
   }
-  if (!got_feat || !got_tr) {
-    if (*features) { free(*features); *features = nullptr; }
-    if (*transcript) { free(*transcript); *transcript = nullptr; }
-    return -10;
-  }
+  if (!got_feat || !got_tr) return fail(-10);
   return 0;
 }
 

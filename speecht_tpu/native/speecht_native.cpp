@@ -273,7 +273,14 @@ int st_flac_decode_file(const char* path, float** out, int64_t* n_samples,
     // frame sync: 14 bits 0b11111111111110
     uint32_t sync = (uint32_t)br.read_bits(14);
     if (br.error) break;
-    if (sync != 0x3FFE) return -5;
+    if (sync != 0x3FFE) {
+      // STREAMINFO may carry total_samples == 0 (streaming encoders):
+      // then the loop cannot stop on sample count, and trailing
+      // padding or an appended tag after the last frame must not
+      // discard fully-decoded audio — stop at sync loss instead
+      if (stream_total == 0 && !pcm.empty()) break;
+      return -5;
+    }
     br.read_bits(1);                    // reserved
     br.read_bits(1);                    // blocking strategy
     int bs_code = (int)br.read_bits(4);
