@@ -179,9 +179,14 @@ class Evaluation(DatasetExecutor):
         if self.from_audio:
             return self._make_audio_eval_step()
         if self.seq_parallel > 1:
-            from speecht_tpu.parallel.seq_parallel import make_sp_eval_step
+            from speecht_tpu.parallel.seq_parallel import (
+                make_sp_eval_step,
+                sp_data_axis,
+            )
 
-            return make_sp_eval_step(self.model, self.mesh)
+            return make_sp_eval_step(
+                self.model, self.mesh, data_axis=sp_data_axis(self.mesh)
+            )
         return tstep.make_eval_step(self.model)
 
     def _result_iterator(self, eval_step, params, loader):

@@ -102,6 +102,11 @@ def make_sp_mesh(flags, n: int) -> Mesh:
     cover the widest kernel (48 frames) even after the stride-2 layer,
     so time buckets are floored at 96 frames per shard (mutates
     ``flags.bucket_step`` so the pipeline buckets accordingly).
+
+    Combined dp x sp: devices not consumed by the sequence axis become
+    data-parallel replicas (auto: gcd(devices // n, batch_size);
+    ``--data-parallel`` pins it) instead of idling — long-utterance
+    training scales over the full slice.
     """
     from speecht_tpu.parallel import mesh as pmesh
 
@@ -109,7 +114,17 @@ def make_sp_mesh(flags, n: int) -> Mesh:
     if flags.bucket_step < min_bucket:
         print(f"seq-parallel {n}: raising --bucket-step to {min_bucket}")
         flags.bucket_step = min_bucket
-    return pmesh.make_mesh(data_parallel=1, model_parallel=n)
+    return pmesh.auto_mesh(
+        batch_size=flags.batch_size,
+        data_parallel=getattr(flags, "data_parallel", 0),
+        model_parallel=n,
+    )
+
+
+def sp_data_axis(mesh: Mesh) -> str | None:
+    """The batch-sharding axis for SP steps: 'data' when the mesh has
+    data-parallel replicas, else None (replicated batch)."""
+    return "data" if mesh.shape.get("data", 1) > 1 else None
 
 
 def validate_sp_length(T: int, n: int, config) -> None:
@@ -129,23 +144,33 @@ def validate_sp_length(T: int, n: int, config) -> None:
         )
 
 
-def _sp_logits(params, features, config, mesh, seq_axis):
-    """Time-sharded forward inside a jit: [B, T, F] -> logits [B, T//2, C]."""
+def _sp_logits(params, features, config, mesh, seq_axis, data_axis=None):
+    """Time-sharded forward inside a jit: [B, T, F] -> logits [B, T//2, C].
+
+    ``data_axis`` additionally shards the batch dim (combined dp x sp);
+    None replicates the batch over any data axis.
+    """
+    spec = P(data_axis, seq_axis, None)
     features = jax.lax.with_sharding_constraint(
-        features, NamedSharding(mesh, P(None, seq_axis, None))
+        features, NamedSharding(mesh, spec)
     )
     return jax.shard_map(
         functools.partial(
             sp_forward_local, config=config, axis_name=seq_axis
         ),
         mesh=mesh,
-        in_specs=(P(), P(None, seq_axis, None)),
-        out_specs=P(None, seq_axis, None),
+        in_specs=(P(), spec),
+        out_specs=spec,
         check_vma=False,
     )(params, features)
 
 
-def make_sp_loss_fn(model: Wav2Letter, mesh: Mesh, seq_axis: str = "model"):
+def make_sp_loss_fn(
+    model: Wav2Letter,
+    mesh: Mesh,
+    seq_axis: str = "model",
+    data_axis: str | None = None,
+):
     """(params, batch) -> (avg CTC loss, logits), time-sharded forward.
 
     Delegates to train.step.make_loss_fn with the dense forward swapped for
@@ -161,12 +186,19 @@ def make_sp_loss_fn(model: Wav2Letter, mesh: Mesh, seq_axis: str = "model"):
     config = model.config
 
     def sp_logits(params, batch):
-        return _sp_logits(params, batch.features, config, mesh, seq_axis)
+        return _sp_logits(
+            params, batch.features, config, mesh, seq_axis, data_axis
+        )
 
     return make_loss_fn(model, logits_fn=sp_logits)
 
 
-def make_sp_eval_step(model: Wav2Letter, mesh: Mesh, seq_axis: str = "model"):
+def make_sp_eval_step(
+    model: Wav2Letter,
+    mesh: Mesh,
+    seq_axis: str = "model",
+    data_axis: str | None = None,
+):
     """Jitted (params, batch) -> (loss, decoded, decoded_lengths) with the
     conv stack sharded over the time axis — long-utterance `evaluate
     --seq-parallel N` (capability the reference lacks; it *discards* long
@@ -176,7 +208,7 @@ def make_sp_eval_step(model: Wav2Letter, mesh: Mesh, seq_axis: str = "model"):
     from speecht_tpu.models.wav2letter import output_length
     from speecht_tpu.ops import decode
 
-    loss_fn = make_sp_loss_fn(model, mesh, seq_axis)
+    loss_fn = make_sp_loss_fn(model, mesh, seq_axis, data_axis)
     n = mesh.shape[seq_axis]
     config = model.config
 
@@ -198,7 +230,11 @@ def make_sp_eval_step(model: Wav2Letter, mesh: Mesh, seq_axis: str = "model"):
 
 
 def make_sp_train_step(
-    model: Wav2Letter, tx, mesh: Mesh, seq_axis: str = "model"
+    model: Wav2Letter,
+    tx,
+    mesh: Mesh,
+    seq_axis: str = "model",
+    data_axis: str | None = None,
 ):
     """Jitted donated (state, batch) -> (state, metrics) on SP gradients.
 
@@ -210,7 +246,7 @@ def make_sp_train_step(
     from speecht_tpu.train.step import _make_update_fn
 
     update = _make_update_fn(
-        model, tx, loss_fn=make_sp_loss_fn(model, mesh, seq_axis)
+        model, tx, loss_fn=make_sp_loss_fn(model, mesh, seq_axis, data_axis)
     )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -221,13 +257,20 @@ def make_sp_train_step(
     return train_step
 
 
-def make_sp_forward(model: Wav2Letter, mesh: Mesh, seq_axis: str = "model"):
+def make_sp_forward(
+    model: Wav2Letter,
+    mesh: Mesh,
+    seq_axis: str = "model",
+    data_axis: str | None = None,
+):
     """Jitted sequence-parallel forward: [B, T, F] -> [B, T//2, C].
 
-    The time axis is sharded over ``seq_axis``; T must be divisible by
+    The time axis is sharded over ``seq_axis`` (and the batch over
+    ``data_axis`` when given); T must be divisible by
     2 * mesh.shape[seq_axis].
     """
     config = model.config
+    spec = P(data_axis, seq_axis, None)
 
     @jax.jit
     def forward(params, features):
@@ -236,8 +279,8 @@ def make_sp_forward(model: Wav2Letter, mesh: Mesh, seq_axis: str = "model"):
                 sp_forward_local, config=config, axis_name=seq_axis
             ),
             mesh=mesh,
-            in_specs=(P(), P(None, seq_axis, None)),
-            out_specs=P(None, seq_axis, None),
+            in_specs=(P(), spec),
+            out_specs=spec,
             check_vma=False,
         )(params, features)
         return out
@@ -246,7 +289,7 @@ def make_sp_forward(model: Wav2Letter, mesh: Mesh, seq_axis: str = "model"):
         n = mesh.shape[seq_axis]
         validate_sp_length(features.shape[1], n, config)
         features = jax.device_put(
-            features, NamedSharding(mesh, P(None, seq_axis, None))
+            features, NamedSharding(mesh, spec)
         )
         return forward(params, features)
 

@@ -102,9 +102,14 @@ class Training(DatasetExecutor):
         if self.seq_parallel > 1:
             # long-utterance training: time-shard the conv stack (halo
             # exchange) instead of discarding what does not fit one chip
-            from speecht_tpu.parallel.seq_parallel import make_sp_loss_fn
+            from speecht_tpu.parallel.seq_parallel import (
+                make_sp_loss_fn,
+                sp_data_axis,
+            )
 
-            sp_loss_fn = make_sp_loss_fn(self.model, self.mesh)
+            sp_loss_fn = make_sp_loss_fn(
+                self.model, self.mesh, data_axis=sp_data_axis(self.mesh)
+            )
         train_step = tstep.make_train_step_acc(
             self.model, tx, loss_fn=sp_loss_fn
         )

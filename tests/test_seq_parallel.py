@@ -160,3 +160,60 @@ def test_sp_train_step_matches_dense(model_params):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
         )
+
+
+def test_dp_x_sp_gradients_match_dense(model_params):
+    """Combined dp x sp (batch sharded over 'data', time over 'model'):
+    loss and gradients must equal the dense single-device path — the
+    halo exchange runs per data-replica and XLA all-reduces the grads."""
+    from speecht_tpu.parallel.seq_parallel import (
+        make_sp_forward,
+        make_sp_loss_fn,
+    )
+    from speecht_tpu.train import step as tstep
+
+    model, params = model_params
+    mesh = pmesh.make_mesh(data_parallel=2, model_parallel=4)
+    batch = _sp_batch(5, B=4, T=96 * 4)
+
+    dense_loss = tstep.make_loss_fn(model)
+    sp_loss = make_sp_loss_fn(model, mesh, data_axis="data")
+
+    l_d, g_d = jax.value_and_grad(lambda p: dense_loss(p, batch)[0])(params)
+    l_s, g_s = jax.value_and_grad(lambda p: sp_loss(p, batch)[0])(params)
+    assert float(l_d) == pytest.approx(float(l_s), rel=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_d), jax.tree_util.tree_leaves(g_s)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+        )
+
+    # forward path with the batch dim actually sharded
+    x = np.asarray(batch.features)
+    dense = np.asarray(model.apply({"params": params}, x))
+    sp_fwd = make_sp_forward(model, mesh, data_axis="data")
+    out = sp_fwd(params, x)
+    # the output really is sharded over both axes (jax drops trailing None)
+    assert tuple(out.sharding.spec)[:2] == ("data", "model")
+    np.testing.assert_allclose(np.asarray(out), dense, rtol=1e-5, atol=1e-5)
+
+
+def test_make_sp_mesh_fills_data_axis():
+    """make_sp_mesh backfills idle devices as data-parallel replicas:
+    8 devices / sp=2 -> dp=4 (clamped to divide the batch)."""
+    from types import SimpleNamespace
+
+    from speecht_tpu.parallel.seq_parallel import make_sp_mesh, sp_data_axis
+
+    flags = SimpleNamespace(bucket_step=256, batch_size=8, data_parallel=0)
+    mesh = make_sp_mesh(flags, 2)
+    assert mesh.shape["model"] == 2 and mesh.shape["data"] == 4
+    assert sp_data_axis(mesh) == "data"
+    assert flags.bucket_step == 256  # >= 96*2 already, untouched
+
+    # batch 2 cannot shard 4 ways: dp clamps to gcd(4, 2) = 2
+    flags = SimpleNamespace(bucket_step=64, batch_size=2, data_parallel=0)
+    mesh = make_sp_mesh(flags, 2)
+    assert mesh.shape["data"] == 2
+    assert flags.bucket_step == 192  # floored to 96 * n
