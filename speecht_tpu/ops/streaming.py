@@ -99,6 +99,7 @@ class StreamingRecognizer:
         window_frames: int = 512,
         hop_length: int = 160,
         n_fft: int = 512,
+        debug_buffers: bool = False,
     ):
         import jax
 
@@ -125,6 +126,11 @@ class StreamingRecognizer:
         self.hop = hop_length
         self.n_fft = n_fft
         self.input_size = model.config.input_size
+        # keep the raw mel/log-mel history for parity inspection (tests);
+        # a production live stream must NOT accumulate them — their values
+        # are never read after arrival and an infinite mic session would
+        # leak ~200 KB/s of dead float64 rows
+        self._debug_buffers = debug_buffers
         self._dct = F.dct_basis(13, 128)
         self._fb = F.mel_filterbank(sample_rate, n_fft, n_mels=128)
         self._hann = F.hann_window(n_fft)
@@ -136,9 +142,11 @@ class StreamingRecognizer:
 
     def reset(self):
         self._audio = np.zeros(0, dtype=np.float32)
+        self._n_frames = 0  # mel frames extracted so far
+        # debug-only histories (None unless debug_buffers=True)
         self._mel_power: np.ndarray | None = None  # [T, 128] raw power
         self._log_mel: np.ndarray | None = None  # [T, 128] 10*log10(power)
-        self._db_max = -np.inf  # running max of _log_mel
+        self._db_max = -np.inf  # running max of the log-mel values
         # power path: frozen (floored, max-referenced) dB values + stats
         self._db: np.ndarray | None = None
         self._db_norm = _RunningNorm()
@@ -160,13 +168,16 @@ class StreamingRecognizer:
 
     def _extract_new_frames(self):
         """Mel power for frames not yet computed (full left/right context)."""
-        have = 0 if self._mel_power is None else self._mel_power.shape[0]
-        # a frame t is exact once audio covers t*hop + n_fft//2 samples;
-        # never more frames than the centered STFT defines (1 + n//hop)
+        have = self._n_frames
+        # a frame t is exact once audio covers t*hop + n_fft//2 samples —
+        # except frame 0, whose left-edge reflection reads sample index
+        # n_fft//2 itself: at exactly n_fft//2 buffered samples the
+        # reflected gather would index one past the buffer
         computable = max(
             0, (len(self._audio) - self.n_fft // 2) // self.hop + 1
         )
-        computable = min(computable, 1 + len(self._audio) // self.hop)
+        if len(self._audio) == self.n_fft // 2:
+            computable = 0
         if computable <= have:
             return
         # compute frames [have, computable) directly from their local audio
@@ -184,8 +195,10 @@ class StreamingRecognizer:
         def grow(buf, new):
             return new if buf is None else np.concatenate([buf, new])
 
-        self._mel_power = grow(self._mel_power, new_power)
-        self._log_mel = grow(self._log_mel, new_log)
+        self._n_frames = computable
+        if self._debug_buffers:
+            self._mel_power = grow(self._mel_power, new_power)
+            self._log_mel = grow(self._log_mel, new_log)
         self._db_max = max(self._db_max, float(new_log.max()))
 
         if self.feature_type == "power":
@@ -252,7 +265,7 @@ class StreamingRecognizer:
         context on each side) and are not overwritten; a full window seals
         its rows up to MARGIN_ROWS short of its end.
         """
-        T = self._log_mel.shape[0]
+        T = self._n_frames
         W = self.window_frames
         Wt = min(W, T - ws)
         feats = self._window_features(ws, ws + Wt)
@@ -288,11 +301,11 @@ class StreamingRecognizer:
             [self._audio, np.asarray(audio_chunk, dtype=np.float32)]
         )
         self._extract_new_frames()
-        if self._log_mel is None or self._log_mel.shape[0] < 2:
+        if self._n_frames < 2:
             return ""
 
         W = self.window_frames
-        T = self._log_mel.shape[0]
+        T = self._n_frames
         # final (newest-audio) window start, even-aligned; when T-W is odd
         # the last frame waits for the next pass (its logit row does not
         # exist yet: total_out = T//2 is unchanged by one dangling frame)

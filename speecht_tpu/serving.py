@@ -71,8 +71,9 @@ def _audio_granularity(wire_sr: int | None, sr: int = 22050) -> int:
     """Sample-count granularity of a polymorphic audio dim.
 
     Resampling needs S to be a multiple of the polyphase hop M
-    (ops/resample.py); without resampling, 2*hop (= 320) keeps frame
-    counts on the pipeline's even-bucket discipline.
+    (ops/resample.py); without resampling, 2*hop (= 320) makes the
+    lowered shapes a simple function of S: frames = 1 + S//160 (odd),
+    and the stride-2 conv emits T' = ceil(frames/2) = S//320 + 1 rows.
     """
     import math
 
@@ -214,7 +215,10 @@ def export_stablehlo(
                 "decoded [B, T'] int32 (greedy CTC ids, padded with -1)",
                 "decoded_lengths [B] int32",
                 "logits [B, T', num_classes] float32 "
-                "(T' = frame count // 2 as lowered from S)",
+                "(T' = ceil(frames/2) rows, frames = 1 + S22k//160 with "
+                "S22k = S * 22050 / wire_sr the on-device-resampled "
+                "length; decoded_lengths cover valid_frames//2 rows — "
+                "reference seq_len//2 parity)",
             ],
         }
     else:

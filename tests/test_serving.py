@@ -144,6 +144,11 @@ class TestStablehloExport:
                 np.testing.assert_allclose(
                     np.asarray(g), np.asarray(w), rtol=1e-6, atol=1e-6
                 )
+            # the manifest's shape contract must describe the real
+            # artifact: T' = ceil(frames/2), frames = 1 + S22k//160
+            s22k = S * 22050 // (wire_sr or 22050)
+            frames = 1 + s22k // 160
+            assert np.asarray(got[2]).shape[1] == (frames + 1) // 2
 
     def test_from_audio_granularity_rejected(self, tmp_path):
         cfg = Wav2LetterConfig(

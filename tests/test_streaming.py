@@ -45,7 +45,9 @@ def test_incremental_mel_matches_offline(model_params):
     model, params = model_params
     sr = 16000
     audio = speechlike_audio(1.0, sr)
-    rec = StreamingRecognizer(model, params, sample_rate=sr)
+    rec = StreamingRecognizer(
+        model, params, sample_rate=sr, debug_buffers=True
+    )
     for chunk in np.array_split(audio, 7):
         rec.accept_chunk(chunk)
 
@@ -116,7 +118,7 @@ def test_committed_text_never_regresses(model_params):
     # committed region stays clear of frames lacking right context
     from speecht_tpu.ops.streaming import RIGHT_CONTEXT
 
-    T = rec._log_mel.shape[0]
+    T = rec._n_frames
     assert rec._frontier <= (T - RIGHT_CONTEXT) // 2
 
 
@@ -269,7 +271,7 @@ def test_single_chunk_longer_than_window_matches_offline(
     rec = StreamingRecognizer(model, params, sample_rate=sr)
     partial = rec.accept_chunk(audio)
 
-    T = rec._log_mel.shape[0]
+    T = rec._n_frames
     W = rec.window_frames
     assert T > W  # the premise of this test
     # every logit row was written by a real window pass (bias makes a
@@ -435,3 +437,15 @@ def test_partial_text_fused_before_any_commit_equals_full_beam(
         valid_word_count_weight=2.3,
     )
     assert fused == vocabulary.ids_to_sentence([int(x) for x in ids])
+
+
+def test_accept_chunk_exact_half_fft_boundary(model_params):
+    """Buffered audio of exactly n_fft//2 samples must not crash: frame
+    0's left-edge reflection reads sample index n_fft//2 itself, which
+    only exists once one MORE sample arrives."""
+    model, params = model_params
+    rec = StreamingRecognizer(model, params, sample_rate=16000)
+    assert rec.accept_chunk(np.zeros(256, np.float32)) == ""
+    assert rec._n_frames == 0
+    rec.accept_chunk(np.zeros(1, np.float32))
+    assert rec._n_frames == 1
