@@ -425,8 +425,11 @@ def bench_preprocess_device():
         iters = 3 if _SMOKE else 12
         start = time.perf_counter()
         for _ in range(iters):
-            feats, _ = FT.batch_power_spectrogram(audio, counts)
-        np.asarray(feats)
+            feats, lens = FT.batch_power_spectrogram(audio, counts)
+        # sync on the tiny lengths vector: reading the ~8 MB feature
+        # tensor back would spend ~190 ms of tunnel time inside the
+        # timed window and understate the device-compute rate
+        np.asarray(lens)
         compute_s = (time.perf_counter() - start) / iters
         return {
             "utt_per_sec_device": round(n / device_s, 2),
@@ -445,7 +448,7 @@ def bench_streaming(model, params):
     sr, chunk = 16000, 4096  # 256 ms per chunk
     rec = StreamingRecognizer(model, params, sample_rate=sr)
     rng_np = np.random.RandomState(4)
-    audio = (rng_np.randn(sr * (3 if _SMOKE else 12)) * 0.1).astype(np.float32)
+    audio = (rng_np.randn(sr * (4 if _SMOKE else 16)) * 0.1).astype(np.float32)
     chunks = [
         audio[i : i + chunk] for i in range(0, len(audio) - chunk, chunk)
     ]
@@ -473,7 +476,12 @@ def bench_streaming(model, params):
             f.write(_TINY_ARPA)
         lm = native.NGramLM(arpa)
         fused_times = []
-        for c in chunks[10 if _SMOKE else 35 : 15 if _SMOKE else 55]:
+        # bounds derived from the actual chunk count so the fused window
+        # never silently truncates to a handful of measurements
+        fuse_lo = 10 if _SMOKE else 35
+        fuse_hi = min(len(chunks), fuse_lo + (5 if _SMOKE else 20))
+        assert fuse_hi - fuse_lo >= (3 if _SMOKE else 15), len(chunks)
+        for c in chunks[fuse_lo:fuse_hi]:
             rec.accept_chunk(c)
             start = time.perf_counter()
             rec.partial_text_fused(lm, lm_weight=0.8)
@@ -492,6 +500,9 @@ def bench_streaming(model, params):
 def main():
     from speecht_tpu import runtime
 
+    # the image's sitecustomize overrides JAX_PLATFORMS at import: honor
+    # an explicit env (the CPU smoke pass) before touching any backend
+    runtime.honor_platform_env()
     runtime.enable_compilation_cache()
     import jax
 

@@ -11,9 +11,12 @@ strings). `speecht-cli evaluate --language-model <dir>` picks up a
 speecht-cli:84-88).
 """
 
+import os
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 
 def main(argv):

@@ -72,23 +72,38 @@ def main(steps: int = 250):
         ),
     ):
         start = time.perf_counter()
-        stats = CLI(
-            ["evaluate", "--test", "--step-count", "1", "--no-save"]
-            + extra
-            + common
-        ).run()
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            stats = CLI(
+                ["evaluate", "--test", "--step-count", "1", "--no-save"]
+                + extra
+                + common
+            ).run()
+        out = buf.getvalue()
+        print(out, end="")
+        # compare the actual transcripts, not just aggregate rates: two
+        # different decodes can tie on LER/WER
+        decoded = [
+            l for l in out.splitlines() if l.startswith("decoded:")
+        ]
         results[name] = (
             stats.global_letter_error_rate,
             stats.global_word_error_rate,
             time.perf_counter() - start,
+            decoded,
         )
 
     print()
-    for name, (ler, wer, dt) in results.items():
+    for name, (ler, wer, dt, _dec) in results.items():
         print(f"{name:12s} LER {ler:.3f} WER {wer:.3f} wall {dt:.1f}s")
     ok = (
         results["greedy"][0] < 0.05
         and results["host_beam"][:2] == results["device_beam"][:2]
+        and results["host_beam"][3] == results["device_beam"][3]
+        and len(results["host_beam"][3]) > 0
     )
     print("DEVICE BEAM CHECK:", "PASS" if ok else "FAIL")
     shutil.rmtree(root, ignore_errors=True)

@@ -87,6 +87,13 @@ def main():
     logits[:, :, 28] += 2.0
     logp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
     lengths = np.full(B, T, np.int32)
+    # pre-stage on device: production emissions are device-resident
+    # (ops/beam.py), and a per-call ~1 MB host upload over the ~44 MB/s
+    # tunnel would dominate the very beam cost this probe measures
+    import jax
+
+    logp = jax.device_put(logp)
+    lengths = jax.device_put(lengths)
 
     t0 = time.time()
     ids, lens = fn(logp, lengths, 1.5, 0.5, 1.2)

@@ -131,7 +131,7 @@ ngram 2=4
 
 def beam_throughput(lm, label: str, iters: int = 8) -> float:
     """utt/s of the fused device beam on B64 x T128 word-ish emissions."""
-    import jax.numpy as jnp
+    import jax
 
     from speecht_tpu import vocabulary
     from speecht_tpu.ops import beam_device
@@ -148,15 +148,17 @@ def beam_throughput(lm, label: str, iters: int = 8) -> float:
     logp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
     lengths = np.full(B, T, np.int32)
     fn = beam_device.make_device_beam_search(100, lm=lm, prune_top_k=8)
+    # pre-stage once: an in-loop host->device transfer (~1 MB/call over
+    # the ~44 MB/s tunnel) would dominate the beam cost being measured
+    logp_d = jax.device_put(logp)
+    lengths_d = jax.device_put(lengths)
     t0 = time.perf_counter()
-    ids, lens = fn(logp, lengths, 1.5, 0.5, 1.2)
+    ids, lens = fn(logp_d, lengths_d, 1.5, 0.5, 1.2)
     np.asarray(ids)
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(iters):
-        ids, lens = fn(
-            jnp.asarray(logp), jnp.asarray(lengths), 1.5, 0.5, 1.2
-        )
+        ids, lens = fn(logp_d, lengths_d, 1.5, 0.5, 1.2)
     np.asarray(ids)  # sync (block_until_ready lies over the axon tunnel)
     elapsed = time.perf_counter() - t0
     utt_s = B * iters / elapsed
@@ -282,6 +284,12 @@ def main():
         "scorer_ok": ok,
     }))
     print("PASS large LM probe" if ok else "FAIL large LM probe")
+    if not args.keep:
+        # the generated binary is hundreds of MB: do not accumulate
+        # tempdirs across probe runs
+        import shutil
+
+        shutil.rmtree(workdir, ignore_errors=True)
     sys.exit(0 if ok else 1)
 
 

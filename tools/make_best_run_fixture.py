@@ -12,9 +12,12 @@ gate (docs/parity_gate.md) be rehearsed end to end through the CLI.
 Usage: python tools/make_best_run_fixture.py <out_dir> [input_size]
 """
 
+import os
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 import numpy as np
 

@@ -185,22 +185,30 @@ def run_two_process(worker: str, args: list[str], log_prefix: str) -> str:
     """Launch 2 coordinated processes; returns process-0 output."""
     port = free_port()
     procs, files = [], []
-    for pid in (0, 1):
-        env = base_env(4)
-        env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
-        env["JAX_NUM_PROCESSES"] = "2"
-        env["JAX_PROCESS_ID"] = str(pid)
-        f = open(f"{log_prefix}.p{pid}.log", "w")
-        files.append(f)
-        procs.append(
-            subprocess.Popen(
-                [sys.executable, worker] + args,
-                env=env, stdout=f, stderr=subprocess.STDOUT, cwd=REPO,
+    try:
+        for pid in (0, 1):
+            env = base_env(4)
+            env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+            env["JAX_NUM_PROCESSES"] = "2"
+            env["JAX_PROCESS_ID"] = str(pid)
+            f = open(f"{log_prefix}.p{pid}.log", "w")
+            files.append(f)
+            procs.append(
+                subprocess.Popen(
+                    [sys.executable, worker] + args,
+                    env=env, stdout=f, stderr=subprocess.STDOUT, cwd=REPO,
+                )
             )
-        )
-    rcs = [p.wait(timeout=900) for p in procs]
-    for f in files:
-        f.close()
+        rcs = [p.wait(timeout=900) for p in procs]
+    finally:
+        # a deadlocked worker must not outlive the drill: if one side
+        # times out, kill BOTH coordinated processes (they are known by
+        # pid — never kill by pattern)
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for f in files:
+            f.close()
     logs = []
     for pid in (0, 1):
         with open(f"{log_prefix}.p{pid}.log") as f:

@@ -82,7 +82,3 @@ ns = jnp.full((64,),163680,jnp.int32)
 @jax.jit
 def frontend(a,n): return FT.batch_power_spectrogram(a,n)
 timeit("frontend B64 1023k-samples", lambda: frontend(audio,ns), lambda o: np.asarray(o[1]))
-
-# re-time the matmul-DFT front end
-frontend2 = jax.jit(lambda a,n: FT.batch_power_spectrogram(a,n))
-timeit("frontend matmul-DFT B64", lambda: frontend2(audio,ns), lambda o: np.asarray(o[1]))

@@ -58,13 +58,12 @@ def main():
 
     B, C = args.batch_size, vocabulary.NUM_CLASSES
     rng = np.random.RandomState(0)
-    # decode_emissions buckets to 32-multiples of the max collapsed length
-    buckets = sorted(
-        set(
-            list(range(32, min(args.max_frames, 256) + 1, 32))
-            + ([args.max_frames] if args.max_frames > 256 else [])
-        )
-    )
+    # decode_emissions buckets to EVERY 32-multiple of the max collapsed
+    # length (ops/beam.py, no cap): walk the whole ladder, else a batch
+    # landing between 256 and max_frames still pays a cold compile
+    buckets = list(range(32, args.max_frames + 1, 32))
+    if args.max_frames % 32:
+        buckets.append(args.max_frames)
     for tb in buckets:
         logp = (rng.randn(B, tb, C) * 2.0).astype(np.float32)
         logp -= np.log(np.exp(logp).sum(-1, keepdims=True))
