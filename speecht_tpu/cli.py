@@ -180,6 +180,13 @@ class CLI:
             help="Stop after this many steps (default: run forever).",
         )
         p.add_argument(
+            "--grad-accum", dest="grad_accum", type=int, default=1,
+            help="Micro-batches accumulated per optimizer update "
+            "(effective batch = batch-size x N with one micro-batch's "
+            "activation memory; a restore restarts any partial "
+            "accumulation).",
+        )
+        p.add_argument(
             "--profile-steps", dest="profile_steps", type=str, default=None,
             help="Capture a jax.profiler trace over steps START:STOP, "
             "counted from this launch (run-relative, like --max-steps).",

@@ -62,29 +62,45 @@ def make_loss_fn(model: Wav2Letter, logits_fn: Callable | None = None) -> Callab
     return loss_fn
 
 
+def _make_grad_fn(model: Wav2Letter, loss_fn=None):
+    loss_fn = loss_fn or make_loss_fn(model)
+
+    def grad_fn(params, batch):
+        (avg_loss, _logits), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, batch)
+        return grads, avg_loss
+
+    return grad_fn
+
+
+def _apply_grads(state: TrainState, grads, tx: optax.GradientTransformation):
+    """clip -> Adam -> lr-scaled update on a (possibly accumulated) grad."""
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    # learning rate multiplies *after* clip+Adam so plateau decay
+    # (reference training.py:82-84) needs no optimizer rebuild
+    updates = jax.tree_util.tree_map(
+        lambda u: -state.learning_rate * u, updates
+    )
+    params = optax.apply_updates(state.params, updates)
+    new_state = TrainState(
+        params=params,
+        opt_state=opt_state,
+        step=state.step + 1,
+        learning_rate=state.learning_rate,
+    )
+    return new_state, optax.global_norm(grads)
+
+
 def _make_update_fn(
     model: Wav2Letter, tx: optax.GradientTransformation, loss_fn=None
 ):
-    loss_fn = loss_fn or make_loss_fn(model)
+    grad_fn = _make_grad_fn(model, loss_fn)
 
     def update(state: TrainState, batch):
-        (avg_loss, _logits), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params, batch)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        # learning rate multiplies *after* clip+Adam so plateau decay
-        # (reference training.py:82-84) needs no optimizer rebuild
-        updates = jax.tree_util.tree_map(
-            lambda u: -state.learning_rate * u, updates
-        )
-        params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(
-            params=params,
-            opt_state=opt_state,
-            step=state.step + 1,
-            learning_rate=state.learning_rate,
-        )
-        return new_state, avg_loss, optax.global_norm(grads)
+        grads, avg_loss = grad_fn(state.params, batch)
+        new_state, grad_norm = _apply_grads(state, grads, tx)
+        return new_state, avg_loss, grad_norm
 
     return update
 
@@ -109,18 +125,47 @@ def make_train_step(
 
 
 def init_metrics_acc():
-    """Device-resident running metrics for the accumulating train step."""
+    """Device-resident running metrics for the accumulating train step.
+
+    ``count`` counts micro-batches; ``updates`` counts optimizer applies
+    (equal unless gradient accumulation is on — grad norms average over
+    ``updates``, losses over ``count``).
+    """
     return {
         "loss_sum": jnp.zeros((), jnp.float32),
         "grad_norm_sum": jnp.zeros((), jnp.float32),
         "count": jnp.zeros((), jnp.float32),
+        "updates": jnp.zeros((), jnp.float32),
+    }
+
+
+def init_grad_accum(params):
+    """Zeroed gradient-accumulation carry for ``accum_steps > 1``."""
+    return {
+        "gsum": jax.tree_util.tree_map(jnp.zeros_like, params),
+        "k": jnp.zeros((), jnp.int32),
     }
 
 
 def make_train_step_acc(
-    model: Wav2Letter, tx: optax.GradientTransformation, loss_fn=None
+    model: Wav2Letter,
+    tx: optax.GradientTransformation,
+    loss_fn=None,
+    accum_steps: int = 1,
 ) -> Callable:
     """Accumulating train step: (state, acc, batch) -> (state, acc).
+
+    With ``accum_steps`` G > 1 the signature becomes
+    ``(state, gacc, acc, batch) -> (state, gacc, acc)`` where ``gacc`` is
+    :func:`init_grad_accum`'s carry: each micro-batch's gradients fold into
+    ``gsum`` and the clip->Adam->lr update applies once per G
+    micro-batches on the G-averaged gradient — numerically the big-batch
+    update (the clip threshold sees the averaged gradient, exactly as a
+    single batch of G x B rows would) while HBM only ever holds one
+    micro-batch's activations. Still ONE compiled program: the apply is
+    a ``lax.cond`` on the carry counter, so the hot loop stays
+    dispatch-only. A checkpoint restore restarts any partial
+    accumulation (the carry is not persisted).
 
     Loss and grad-norm fold into a donated device-resident accumulator
     (:func:`init_metrics_acc`) instead of being returned per step, so the
@@ -132,19 +177,61 @@ def make_train_step_acc(
     parallel/seq_parallel.py for ``train --seq-parallel``). The host fetches the
     accumulator once per ``steps_per_checkpoint``.
     """
-    update = _make_update_fn(model, tx, loss_fn)
+    if accum_steps <= 1:
+        update = _make_update_fn(model, tx, loss_fn)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(state: TrainState, acc, batch):
-        new_state, avg_loss, grad_norm = update(state, batch)
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(state: TrainState, acc, batch):
+            new_state, avg_loss, grad_norm = update(state, batch)
+            acc = {
+                "loss_sum": acc["loss_sum"] + avg_loss,
+                "grad_norm_sum": acc["grad_norm_sum"] + grad_norm,
+                "count": acc["count"] + 1.0,
+                "updates": acc["updates"] + 1.0,
+            }
+            return new_state, acc
+
+        return train_step
+
+    grad_fn = _make_grad_fn(model, loss_fn)
+    g = float(accum_steps)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_step_accum(state: TrainState, gacc, acc, batch):
+        grads, avg_loss = grad_fn(state.params, batch)
+        gsum = jax.tree_util.tree_map(
+            lambda a, b: a + b, gacc["gsum"], grads
+        )
+        k = gacc["k"] + 1
+
+        def apply(op):
+            st, gs = op
+            gavg = jax.tree_util.tree_map(lambda x: x / g, gs)
+            new_state, grad_norm = _apply_grads(st, gavg, tx)
+            return (
+                new_state,
+                jax.tree_util.tree_map(jnp.zeros_like, gs),
+                jnp.zeros((), jnp.int32),
+                grad_norm,
+                jnp.float32(1.0),
+            )
+
+        def skip(op):
+            st, gs = op
+            return st, gs, k, jnp.float32(0.0), jnp.float32(0.0)
+
+        state, gsum, k, grad_norm, applied = jax.lax.cond(
+            k >= accum_steps, apply, skip, (state, gsum)
+        )
         acc = {
             "loss_sum": acc["loss_sum"] + avg_loss,
             "grad_norm_sum": acc["grad_norm_sum"] + grad_norm,
             "count": acc["count"] + 1.0,
+            "updates": acc["updates"] + applied,
         }
-        return new_state, acc
+        return state, {"gsum": gsum, "k": k}, acc
 
-    return train_step
+    return train_step_accum
 
 
 def make_eval_step(model: Wav2Letter) -> Callable:

@@ -60,6 +60,16 @@ class Training(DatasetExecutor):
     def seq_parallel(self) -> int:
         return int(getattr(self.flags, "seq_parallel", 0) or 0)
 
+    @property
+    def grad_accum(self) -> int:
+        """Micro-batches per optimizer update (``--grad-accum``).
+
+        Effective batch = batch_size * grad_accum while HBM holds only
+        one micro-batch's activations — the way to the B256-class MFU
+        sweet spot when long buckets (or SP) make B256 itself not fit.
+        """
+        return int(getattr(self.flags, "grad_accum", 1) or 1)
+
     def create_mesh(self):
         if self.seq_parallel > 1:
             from speecht_tpu.parallel.seq_parallel import make_sp_mesh
@@ -110,8 +120,14 @@ class Training(DatasetExecutor):
             sp_loss_fn = make_sp_loss_fn(
                 self.model, self.mesh, data_axis=sp_data_axis(self.mesh)
             )
+        if self.grad_accum > 1:
+            print(
+                f"gradient accumulation: {self.grad_accum} micro-batches "
+                f"per update (effective batch "
+                f"{self.flags.batch_size * self.grad_accum})"
+            )
         train_step = tstep.make_train_step_acc(
-            self.model, tx, loss_fn=sp_loss_fn
+            self.model, tx, loss_fn=sp_loss_fn, accum_steps=self.grad_accum
         )
         # multi-process: the fresh/restored state is process-local; jit over
         # a mesh spanning processes needs global arrays. Every process holds
@@ -204,6 +220,15 @@ class Training(DatasetExecutor):
         # checkpoint left off
         start_step = global_step
         acc = pmesh.replicate(tstep.init_metrics_acc(), self.mesh)
+        # gradient-accumulation carry (device-resident; zeros_like the
+        # already-replicated params so multi-process shapes match). A
+        # resume restarts any partial accumulation — the carry is not
+        # checkpointed.
+        gacc = (
+            tstep.init_grad_accum(state.params)
+            if self.grad_accum > 1
+            else None
+        )
         param_summarizer = tsummaries.make_param_summarizer(
             with_images=verbose
         )
@@ -245,7 +270,10 @@ class Training(DatasetExecutor):
                     t0 = time.time()
 
                 # dispatch-only: no host<->device sync in the hot loop
-                state, acc = train_step(state, acc, batch)
+                if gacc is None:
+                    state, acc = train_step(state, acc, batch)
+                else:
+                    state, gacc, acc = train_step(state, gacc, acc, batch)
                 self._latest_state = state
                 global_step += 1
 
@@ -284,7 +312,11 @@ class Training(DatasetExecutor):
                     )
                     n = max(float(m["count"]), 1.0)
                     avg_loss = float(m["loss_sum"]) / n
-                    avg_grad_norm = float(m["grad_norm_sum"]) / n
+                    # grad norms exist only at optimizer applies (fewer
+                    # than micro-batches under --grad-accum)
+                    avg_grad_norm = float(m["grad_norm_sum"]) / max(
+                        float(m["updates"]), 1.0
+                    )
                     lr = float(state.learning_rate)
                     step_time = (time.time() - window_start) / spc
                     # prints the interval-accumulated average loss

@@ -763,3 +763,22 @@ def test_train_and_evaluate_data_parallel(workdir, capsys):
     capsys.readouterr()
     # only 1 real utterance exists; the rest of the batch is padding
     assert stats.decodings_counter == 1
+
+
+def test_train_grad_accum(workdir, capsys):
+    """`train --grad-accum 2` through the CLI: 4 micro-batches = 2
+    optimizer applies; the device step counter advances per APPLY while
+    the run's micro-batch counter drives --max-steps."""
+    state = run_cli(
+        workdir,
+        "train",
+        "--max-steps", "4",
+        "--steps-per-checkpoint", "2",
+        "--grad-accum", "2",
+        "--run-name", "e2e_ga",
+    )
+    out = capsys.readouterr().out
+    assert "gradient accumulation: 2 micro-batches per update" in out
+    assert "effective batch 2" in out
+    assert int(state.step) == 2  # optimizer applies, not micro-batches
+    assert "global step 4" in out  # loop counts micro-batches

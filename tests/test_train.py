@@ -191,6 +191,7 @@ def test_train_loop_applies_plateau_decay(tmp_path):
             "loss_sum": acc["loss_sum"] + loss,
             "grad_norm_sum": acc["grad_norm_sum"] + 1.0,
             "count": acc["count"] + 1.0,
+            "updates": acc["updates"] + 1.0,
         }
         return (
             TrainState(
@@ -689,3 +690,51 @@ def test_infeasible_labels_excluded_from_loss(model_and_state):
     g = jax.grad(lambda p: h.loss_fn(p, bad)[0])(state.params)
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+
+
+def test_grad_accum_matches_big_batch(harness):
+    """G micro-batches of B rows must produce the SAME update as one
+    batch of G*B rows: the accumulated average gradient equals the
+    big-batch gradient when every micro-batch has the same (fully
+    feasible) row count, and the clip/Adam/lr chain sees it once."""
+    G = 2
+    micro = [
+        tiny_batch(np.random.RandomState(21)),
+        tiny_batch(np.random.RandomState(22)),
+    ]
+    big = Batch(
+        features=np.concatenate([b.features for b in micro]),
+        seq_lengths=np.concatenate([b.seq_lengths for b in micro]),
+        labels=np.concatenate([b.labels for b in micro]),
+        label_lengths=np.concatenate([b.label_lengths for b in micro]),
+    )
+
+    accum_step = tstep.make_train_step_acc(
+        harness.model, harness.tx, accum_steps=G
+    )
+    state_a = harness.fresh_state()
+    gacc = tstep.init_grad_accum(state_a.params)
+    acc = tstep.init_metrics_acc()
+    for b in micro:
+        state_a, gacc, acc = accum_step(state_a, gacc, acc, b)
+
+    state_b, _m = harness.train_step(harness.fresh_state(), big)
+
+    # one optimizer apply happened, after the second micro-batch
+    assert float(acc["updates"]) == 1.0
+    assert float(acc["count"]) == 2.0
+    assert int(state_a.step) == 1
+    assert float(jnp.asarray(gacc["k"])) == 0  # carry reset after apply
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_a.params),
+        jax.tree_util.tree_leaves(state_b.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
+
+    # a second round reuses the zeroed carry and applies again
+    for b in micro:
+        state_a, gacc, acc = accum_step(state_a, gacc, acc, b)
+    assert float(acc["updates"]) == 2.0
+    assert int(state_a.step) == 2
