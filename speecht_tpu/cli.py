@@ -180,6 +180,22 @@ class CLI:
             help="Stop after this many steps (default: run forever).",
         )
         p.add_argument(
+            "--spec-augment", dest="spec_augment", action="store_true",
+            help="On-device SpecAugment (2 frequency + 2 time masks per "
+            "utterance, fresh per step) during training.",
+        )
+        p.add_argument(
+            "--spec-augment-freq-width", dest="spec_augment_freq_width",
+            type=int, default=15,
+            help="Max frequency-mask width in mel bins.",
+        )
+        p.add_argument(
+            "--spec-augment-time-frac", dest="spec_augment_time_frac",
+            type=float, default=0.05,
+            help="Max time-mask width as a fraction of the utterance's "
+            "valid frames.",
+        )
+        p.add_argument(
             "--grad-accum", dest="grad_accum", type=int, default=1,
             help="Micro-batches accumulated per optimizer update "
             "(effective batch = batch-size x N with one micro-batch's "

@@ -152,6 +152,7 @@ def make_train_step_acc(
     tx: optax.GradientTransformation,
     loss_fn=None,
     accum_steps: int = 1,
+    augment_fn=None,
 ) -> Callable:
     """Accumulating train step: (state, acc, batch) -> (state, acc).
 
@@ -166,6 +167,11 @@ def make_train_step_acc(
     a ``lax.cond`` on the carry counter, so the hot loop stays
     dispatch-only. A checkpoint restore restarts any partial
     accumulation (the carry is not persisted).
+
+    ``augment_fn`` (ops/augment.py ``make_augment_fn``) transforms each
+    batch inside the compiled step, keyed on the device-resident
+    optimizer step and micro-batch counter — training-time SpecAugment
+    with zero host cost; eval paths never see it.
 
     Loss and grad-norm fold into a donated device-resident accumulator
     (:func:`init_metrics_acc`) instead of being returned per step, so the
@@ -182,6 +188,8 @@ def make_train_step_acc(
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def train_step(state: TrainState, acc, batch):
+            if augment_fn is not None:
+                batch = augment_fn(batch, state.step, acc["count"])
             new_state, avg_loss, grad_norm = update(state, batch)
             acc = {
                 "loss_sum": acc["loss_sum"] + avg_loss,
@@ -198,6 +206,8 @@ def make_train_step_acc(
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step_accum(state: TrainState, gacc, acc, batch):
+        if augment_fn is not None:
+            batch = augment_fn(batch, state.step, acc["count"])
         grads, avg_loss = grad_fn(state.params, batch)
         gsum = jax.tree_util.tree_map(
             lambda a, b: a + b, gacc["gsum"], grads

@@ -126,8 +126,29 @@ class Training(DatasetExecutor):
                 f"per update (effective batch "
                 f"{self.flags.batch_size * self.grad_accum})"
             )
+        augment_fn = None
+        if getattr(flags, "spec_augment", False):
+            # on-device SpecAugment, keyed on the optimizer step: fresh
+            # masks per micro-batch, zero host cost, eval unaffected
+            from speecht_tpu.ops.augment import make_augment_fn
+
+            augment_fn = make_augment_fn(
+                freq_width=getattr(flags, "spec_augment_freq_width", 15),
+                time_frac=getattr(flags, "spec_augment_time_frac", 0.05),
+            )
+            print(
+                "SpecAugment on: 2 freq masks (width <= "
+                f"{getattr(flags, 'spec_augment_freq_width', 15)}), "
+                "2 time masks (width <= "
+                f"{getattr(flags, 'spec_augment_time_frac', 0.05):.2f} "
+                "x valid frames)"
+            )
         train_step = tstep.make_train_step_acc(
-            self.model, tx, loss_fn=sp_loss_fn, accum_steps=self.grad_accum
+            self.model,
+            tx,
+            loss_fn=sp_loss_fn,
+            accum_steps=self.grad_accum,
+            augment_fn=augment_fn,
         )
         # multi-process: the fresh/restored state is process-local; jit over
         # a mesh spanning processes needs global arrays. Every process holds
