@@ -186,8 +186,10 @@ class CLI:
         )
         p.add_argument(
             "--spec-augment-freq-width", dest="spec_augment_freq_width",
-            type=int, default=15,
-            help="Max frequency-mask width in mel bins.",
+            type=int, default=None,
+            help="Max frequency-mask width in feature bins (default: 15 "
+            "of the 128 mel bins for power features, 4 of the 39 "
+            "coefficients for mfcc).",
         )
         p.add_argument(
             "--spec-augment-time-frac", dest="spec_augment_time_frac",

@@ -20,25 +20,31 @@ Semantics:
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 
 
-def _mask_axis(rng, length: int, max_width, n_masks: int):
+def _mask_axis(rng, length: int, max_width, n_masks: int, limit=None):
     """[length] boolean, True where masked: ``n_masks`` random spans of
-    width U[0, max_width] (max_width may be a traced per-row scalar)."""
-    keep = jnp.zeros((length,), jnp.bool_)
+    width U[0, max_width] placed within [0, limit) (``limit`` defaults
+    to the full axis; pass the row's valid extent so masks land on real
+    content — sampling starts over the padded length would leave heavily
+    padded rows almost never masked). Both bounds may be traced."""
+    limit = jnp.asarray(length if limit is None else limit, jnp.int32)
+    masked = jnp.zeros((length,), jnp.bool_)
     pos = jnp.arange(length, dtype=jnp.int32)
-    for i in range(n_masks):
+    for _ in range(n_masks):
         k_w, k_s, rng = jax.random.split(rng, 3)
         width = jax.random.randint(
             k_w, (), 0, jnp.maximum(jnp.asarray(max_width, jnp.int32), 0) + 1
         )
         start = jax.random.randint(
-            k_s, (), 0, jnp.maximum(length - width, 0) + 1
+            k_s, (), 0, jnp.maximum(limit - width, 0) + 1
         )
-        keep = keep | ((pos >= start) & (pos < start + width))
-    return keep
+        masked = masked | ((pos >= start) & (pos < start + width))
+    return masked
 
 
 def spec_augment(
@@ -61,8 +67,11 @@ def spec_augment(
         k_f, k_t = jax.random.split(rng_row)
         f_mask = _mask_axis(k_f, F, freq_width, n_freq_masks)
         t_width = (time_frac * valid.astype(jnp.float32)).astype(jnp.int32)
-        t_mask = _mask_axis(k_t, T, t_width, n_time_masks)
-        # never mask padding (it is already 0) nor count it as maskable
+        # place time masks within the VALID extent, not the padded T — a
+        # 200-frame row padded to 1792 would otherwise receive a time
+        # mask on only ~20% of steps
+        t_mask = _mask_axis(k_t, T, t_width, n_time_masks, limit=valid)
+        # belt and braces: never touch padding
         t_mask = t_mask & (jnp.arange(T, dtype=jnp.int32) < valid)
         masked = jnp.where(t_mask[:, None] | f_mask[None, :], 0.0, row)
         return masked
@@ -82,15 +91,15 @@ def make_augment_fn(
 
     Plugged into the jitted train step (train/step.py ``augment_fn``),
     which passes the device-resident optimizer step and micro-batch
-    counter: the PRNG key derives from both, so every micro-batch sees
-    fresh masks with no host RNG plumbing, and the whole augmentation
-    stays one pure compiled program (reproducible given the same step
-    sequence).
+    counter (the metrics accumulator's ``count``): the PRNG key derives
+    from both, so every micro-batch sees fresh masks with no host RNG
+    plumbing and the whole augmentation stays one pure compiled program.
+    The counter resets at each checkpoint flush and on restore, so the
+    exact mask SEQUENCE is fresh per metrics window — deliberate: masks
+    must vary, not replay.
     """
 
     def augment(batch, step, micro):
-        import dataclasses
-
         rng = jax.random.fold_in(
             jax.random.PRNGKey(seed),
             step.astype(jnp.uint32) * jnp.uint32(1_000_003)

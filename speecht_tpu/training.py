@@ -132,16 +132,17 @@ class Training(DatasetExecutor):
             # masks per micro-batch, zero host cost, eval unaffected
             from speecht_tpu.ops.augment import make_augment_fn
 
-            augment_fn = make_augment_fn(
-                freq_width=getattr(flags, "spec_augment_freq_width", 15),
-                time_frac=getattr(flags, "spec_augment_time_frac", 0.05),
-            )
+            fw = getattr(flags, "spec_augment_freq_width", None)
+            if fw is None:
+                # scale the mask budget to the feature axis: 15/128 mel
+                # bins for power, 4/39 coefficients for mfcc (two
+                # 15-wide masks would cover 77% of the mfcc axis)
+                fw = 4 if flags.feature_type == "mfcc" else 15
+            tf_frac = getattr(flags, "spec_augment_time_frac", 0.05)
+            augment_fn = make_augment_fn(freq_width=fw, time_frac=tf_frac)
             print(
-                "SpecAugment on: 2 freq masks (width <= "
-                f"{getattr(flags, 'spec_augment_freq_width', 15)}), "
-                "2 time masks (width <= "
-                f"{getattr(flags, 'spec_augment_time_frac', 0.05):.2f} "
-                "x valid frames)"
+                f"SpecAugment on: 2 freq masks (width <= {fw}), "
+                f"2 time masks (width <= {tf_frac:.2f} x valid frames)"
             )
         train_step = tstep.make_train_step_acc(
             self.model,

@@ -115,3 +115,25 @@ def test_train_step_with_augmentation_trains():
     assert np.isfinite(float(acc["loss_sum"]))
     assert float(acc["count"]) == 3
     assert int(state.step) == 3
+
+
+def test_time_masks_land_on_valid_frames_of_padded_rows():
+    """Mask starts are sampled within the VALID extent: a 20-frame row
+    padded to T=256 must still receive time masking on most steps (if
+    starts ranged over the padded length, ~92% of masks would land
+    entirely in padding and be erased)."""
+    feats, valid = _batch(B=1, T=256, valid=[20])
+    hits = 0
+    for seed in range(50):
+        out = np.asarray(
+            spec_augment(
+                jnp.asarray(feats),
+                jnp.asarray(valid),
+                jax.random.PRNGKey(seed),
+                n_freq_masks=0,
+                time_frac=0.3,
+            )
+        )
+        if (out[0, :20] == 0).all(axis=1).any():
+            hits += 1
+    assert hits >= 25, hits
