@@ -41,5 +41,6 @@ def test_two_process_training_matches_single_process():
     assert "PASS dp 2-process steps 4-6" in out
     assert "PASS dpxtp 2-process steps 1-3" in out
     assert "PASS mixed-bucket dp 2-process steps 1-3" in out
+    assert "PASS grad-accum dp 2-process applies 1-3" in out
     assert "PASS eval 2-process global stats" in out
     assert "PASS multiprocess drill" in out

@@ -292,6 +292,30 @@ def main() -> None:
         0.05,
     )
 
+    print("== 2-process dp + grad-accum run ==", flush=True)
+    # half the batch x 2 accumulated micro-batches == the full-batch
+    # baseline: each pair of micro-batches partitions the 16-file corpus,
+    # so the averaged accumulated gradient IS the big-batch gradient and
+    # the interval-averaged loss (spc=2) equals the baseline's per-step
+    # loss. Exercises the grad carry as multi-process GLOBAL arrays.
+    out = run_two_process(
+        worker,
+        [
+            "train", "--max-steps", "6", "--steps-per-checkpoint", "2",
+            "--learning-rate", "3e-4", "--grad-accum", "2",
+        ]
+        + common_flags(root, "mpga")
+        + ["--batch-size", "8"],
+        os.path.join(root, "mpga"),
+    )
+    assert "gradient accumulation: 2 micro-batches" in out, out[-2000:]
+    check_close(
+        "grad-accum dp 2-process applies 1-3",
+        parse_losses(out),
+        base_a,
+        0.05,
+    )
+
     print("== 2-process evaluate (greedy, mixed corpus) ==", flush=True)
     # both runs restore the SAME checkpoint (the 2-process-trained one),
     # so per-row logits are identical and the global statistics must
@@ -319,7 +343,7 @@ def main() -> None:
 
     print(
         "PASS multiprocess drill: dp, checkpoint/resume, dp x tp, "
-        "mixed-bucket sync, evaluate"
+        "mixed-bucket sync, grad-accum, evaluate"
     )
 
 
