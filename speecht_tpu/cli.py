@@ -267,6 +267,15 @@ class CLI:
             "--streaming", dest="streaming", action="store_true",
             help="Low-latency incremental transcription while recording.",
         )
+        p.add_argument(
+            "--audio-source", dest="audio_source", type=str, nargs="+",
+            default=None, metavar="FILE",
+            help="Transcribe these audio files (flac, or float32 .npy at "
+            "16 kHz) through the record pipeline instead of a microphone; "
+            "one-shot mode treats each file as one gated utterance and "
+            "exits after the last, --streaming feeds them as a live "
+            "chunk stream.",
+        )
         self._add_language_model_arguments(p)
 
     def _add_parameter_search_parser(self):

@@ -48,6 +48,85 @@ def postprocess_recording(
     return add_silence(audio, 0.1, rate)
 
 
+class AudioSourceExhausted(Exception):
+    """Raised by a file-backed audio source when all audio is consumed.
+
+    The mic recorder never raises it (a microphone has no EOF); the record
+    executor treats it like the reference's ctrl-c — finish up and return.
+    """
+
+
+class FileAudioSource:
+    """File-backed drop-in for :class:`AudioRecorder` (``--audio-source``).
+
+    Feeds audio files through the exact mic interface — ``record()`` one
+    utterance per file with the same normalize/trim/pad post chain the mic
+    path applies (reference record_utils.py:117-121), and
+    ``open_input_stream()`` raw fixed-size chunks for streaming — so the
+    record executor's composition (reference recording.py:31-69) is
+    drivable end-to-end without audio hardware. FLAC decode uses the
+    native decoder; files at other rates are sinc-resampled to ``rate``.
+    """
+
+    def __init__(self, paths, rate: int = 16000, threshold: float = 0.03,
+                 chunk_size: int = 1024):
+        if isinstance(paths, str):
+            paths = [paths]
+        if not paths:
+            raise ValueError("FileAudioSource needs at least one audio file")
+        self.rate = rate
+        self.threshold = threshold
+        self.chunk_size = chunk_size
+        self._paths = list(paths)
+        self._next = 0
+
+    def _load(self, path: str) -> np.ndarray:
+        from speecht_tpu import native
+
+        if path.endswith(".npy"):
+            audio = np.load(path).astype(np.float32)
+            sr = self.rate
+        else:
+            audio, sr = native.flac_decode(path)
+        if sr != self.rate:
+            audio = native.resample(audio, sr, self.rate)
+        return audio.astype(np.float32)
+
+    def record(self) -> tuple[np.ndarray, int]:
+        """Next file as one gated utterance; raises when files run out."""
+        if self._next >= len(self._paths):
+            raise AudioSourceExhausted()
+        audio = self._load(self._paths[self._next])
+        self._next += 1
+        return postprocess_recording(audio, self.rate, self.threshold), 4
+
+    @contextlib.contextmanager
+    def open_input_stream(self):
+        """Raw chunk reader over the concatenation of all files.
+
+        Mirrors the mic stream contract: each call returns exactly
+        ``chunk_size`` float32 samples (the tail is zero-padded); when the
+        audio is exhausted the next call raises AudioSourceExhausted.
+        """
+        audio = np.concatenate([self._load(p) for p in self._paths])
+        state = {"pos": 0}
+
+        def read_chunk() -> np.ndarray:
+            pos = state["pos"]
+            if pos >= len(audio):
+                raise AudioSourceExhausted()
+            chunk = audio[pos : pos + self.chunk_size]
+            state["pos"] = pos + self.chunk_size
+            if len(chunk) < self.chunk_size:
+                chunk = np.pad(chunk, (0, self.chunk_size - len(chunk)))
+            return chunk.astype(np.float32)
+
+        yield read_chunk
+
+    def terminate(self):
+        pass
+
+
 class AudioRecorder:
     """Silence-gated microphone recorder (requires pyaudio at runtime)."""
 

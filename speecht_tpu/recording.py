@@ -5,6 +5,13 @@ speecht/recording.py:27-69): batch-of-one input path with manual
 ``--input-size`` (no cache probe), 16 kHz recorder with 4096-sample chunks,
 per-utterance feature extraction on the host, decode (greedy or LM beam),
 printed transcription, infinite loop.
+
+TPU-native additions: ``--streaming`` incremental transcription and
+``--audio-source FILE...`` — a file-backed recorder with the mic
+recorder's exact interface and post chain, so the full record composition
+(capture -> features -> single_batch -> decode -> print) runs end-to-end
+in tests and on hardware without a microphone; the executor returns the
+printed transcripts for assertion.
 """
 
 from __future__ import annotations
@@ -20,8 +27,25 @@ from speecht_tpu.train.checkpoint import CheckpointManager
 
 
 class Recording:
-    def __init__(self, flags):
+    def __init__(self, flags, recorder=None):
         self.flags = flags
+        # injection seam: tests and `--audio-source` substitute a
+        # file-backed recorder for the microphone
+        self._recorder = recorder
+
+    def _make_recorder(self, sample_rate: int, chunk_size: int):
+        if self._recorder is not None:
+            return self._recorder
+        sources = getattr(self.flags, "audio_source", None)
+        if sources:
+            from speecht_tpu.record_utils import FileAudioSource
+
+            return FileAudioSource(
+                sources, rate=sample_rate, chunk_size=chunk_size
+            )
+        from speecht_tpu.record_utils import AudioRecorder
+
+        return AudioRecorder(rate=sample_rate, chunk_size=chunk_size)
 
     def _make_decoder(self, model):
         lm_flags = getattr(self.flags, "lm", None)
@@ -32,11 +56,11 @@ class Recording:
         return tstep.make_eval_step(model)
 
     def run(self):
-        from speecht_tpu.record_utils import AudioRecorder
+        from speecht_tpu.record_utils import AudioSourceExhausted
 
         flags = self.flags
         sample_rate = 16000
-        recorder = AudioRecorder(rate=sample_rate, chunk_size=4 * 1024)
+        recorder = self._make_recorder(sample_rate, chunk_size=4 * 1024)
 
         model = build_model(flags.input_size, flags)
         state, _tx = init_state(model, flags)
@@ -48,9 +72,15 @@ class Recording:
 
         decoder = self._make_decoder(model)
 
+        transcripts = []
         while True:
             print("Recording audio")
-            raw_audio, _width = recorder.record()
+            try:
+                raw_audio, _width = recorder.record()
+            except AudioSourceExhausted:
+                # file-backed sources end; the mic loop is infinite
+                # (reference recording.py:38's `while True`)
+                return transcripts
             raw_audio = np.asarray(raw_audio)
 
             print("Generate MFCCs or power spectrogram")
@@ -72,6 +102,7 @@ class Recording:
                 decoded[0, : dec_lengths[0]]
             )
             print(f"decoded: {decoded_str}")
+            transcripts.append(decoded_str)
 
     def _run_streaming(self, model, state, recorder, sample_rate):
         """Low-latency mode: incremental transcription while audio arrives.
@@ -80,6 +111,7 @@ class Recording:
         gate) and refreshes the partial transcript after each chunk.
         """
         from speecht_tpu.ops.streaming import StreamingRecognizer
+        from speecht_tpu.record_utils import AudioSourceExhausted
 
         rec = StreamingRecognizer(
             model,
@@ -115,7 +147,8 @@ class Recording:
                             ),
                         )
                     print(f"\rpartial: {partial}", end="", flush=True)
-            except KeyboardInterrupt:
+            except (KeyboardInterrupt, AudioSourceExhausted):
+                # ctrl-c on a mic, end-of-audio on a file source
                 print()
                 final = rec.finalize(beam=beam)
                 print(f"decoded: {final}")

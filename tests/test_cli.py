@@ -99,6 +99,16 @@ def test_record_streaming_flag():
     assert not parse("record").streaming
 
 
+def test_record_audio_source_flag():
+    assert parse("record").audio_source is None
+    assert parse("record", "--audio-source", "a.flac").audio_source == [
+        "a.flac"
+    ]
+    assert parse(
+        "record", "--audio-source", "a.flac", "b.flac"
+    ).audio_source == ["a.flac", "b.flac"]
+
+
 class TestDistributedInit:
     def test_noop_without_coordinator_env(self, monkeypatch):
         from speecht_tpu import runtime

@@ -1,6 +1,6 @@
 """Shared scaffolding for hardware-validation tools using the bundled
 LibriSpeech fixture utterance (the only real audio reachable under zero
-egress). Used by overfit_check.py and device_beam_check.py."""
+egress)."""
 
 import os
 import shutil
@@ -41,7 +41,10 @@ def common_flags(root: str, run_name: str) -> list[str]:
     ]
 
 
-def preprocess_and_train(root: str, run_name: str, steps: int) -> list[str]:
+def preprocess_and_train(
+    root: str, run_name: str, steps: int,
+    extra_train_flags: list[str] = (),
+) -> list[str]:
     """CLI preprocess + overfit-train; returns the common flag list."""
     from speecht_tpu.cli import CLI
 
@@ -54,6 +57,7 @@ def preprocess_and_train(root: str, run_name: str, steps: int) -> list[str]:
             "--steps-per-checkpoint", str(steps),
             "--learning-rate", "3e-4",
         ]
+        + list(extra_train_flags)
         + common
     ).run()
     return common

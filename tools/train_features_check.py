@@ -30,7 +30,7 @@ from speecht_tpu import runtime
 
 runtime.enable_compilation_cache()
 
-from fixture_corpus import common_flags, make_fixture_corpus  # noqa: E402
+from fixture_corpus import make_fixture_corpus, preprocess_and_train  # noqa: E402
 
 
 def main(steps: int = 700):
@@ -38,21 +38,15 @@ def main(steps: int = 700):
 
     root = tempfile.mkdtemp(prefix="trainfeat_")
     make_fixture_corpus(root)
-    common = common_flags(root, "trainfeat")
-    CLI(["preprocess", "--num-workers", "1"] + common).run()
-    CLI(
-        [
-            "train",
-            "--max-steps", str(steps),
-            "--steps-per-checkpoint", str(steps),
-            "--learning-rate", "3e-4",
+    common = preprocess_and_train(
+        root, "trainfeat", steps,
+        extra_train_flags=[
             "--spec-augment",
             "--spec-augment-freq-width", "8",
             "--spec-augment-time-frac", "0.02",
             "--grad-accum", "2",
-        ]
-        + common
-    ).run()
+        ],
+    )
     stats = CLI(
         ["evaluate", "--test", "--step-count", "1", "--no-save"] + common
     ).run()
