@@ -18,12 +18,23 @@ batches (batch 64, ~7.4 s utterances -> 1024 feature frames @ hop 160,
 - streaming: per-chunk latency of the incremental recognizer
   (`record --streaming`), 256 ms audio chunks
 
-Baseline: the reference publishes NO throughput numbers (BASELINE.md). The
-``vs_baseline`` uses a documented compute-ceiling estimate for the
-reference's hardware: a Titan X (~6.1 TFLOP/s fp32) running the same
-~25 GFLOP/utterance conv stack at a generous 30% MFU ≈ 72 utt/s. The
-north-star target in BASELINE.json (>=100x a TF1 CPU eval) is far below
-this bar, so vs_baseline > 1.0 already implies the north star.
+Baseline: the reference publishes NO throughput numbers (BASELINE.md), but
+TensorFlow ships in this image, so the TF CPU evaluate workload was
+MEASURED on this host (tools/tf_baseline.py: the reference's exact conv
+graph + ctc_greedy_decoder under graph mode at these shapes — 5.24 utt/s
+forward+decode on the 1-core host; 1.49 utt/s with the loss the
+reference's eval step also runs). ``vs_baseline`` divides by that measured
+number — the north star (>=100x a TF1 CPU eval, BASELINE.json) is met when
+vs_baseline >= 100. The previous denominator, a documented Titan-X
+compute-ceiling estimate (~6.1 TFLOP/s fp32 at a generous 30% MFU ≈ 72
+utt/s), is still reported as ``extra.vs_titan_x_estimate``.
+
+Host-bound rows (host beam, preprocess host path, streaming) carry a
+contention annotation: /proc/stat vs /proc/self CPU over the timed window
+— ``host_other_cpu_frac`` is the fraction of this 1-core host spent in
+OTHER processes; rows with > 0.15 are flagged ``host_contended`` (BENCH_r03
+recorded regressions that were contention from a concurrently running test
+suite, VERDICT r3 weak #2).
 
 Device batches are pre-staged: in production the PrefetchLoader overlaps
 host->device transfer with compute; the dev tunnel here moves ~44 MB/s and
@@ -40,7 +51,12 @@ import time
 
 import numpy as np
 
-BASELINE_UTT_PER_SEC = 72.0  # estimated Titan X ceiling (see docstring)
+# MEASURED on this host by tools/tf_baseline.py (TF 2.21 graph mode,
+# B64xT1024x128, 1 CPU core): the reference's conv stack + greedy decoder.
+# Re-run the tool and update after any host change; BASELINE.md records
+# the full measurement (incl. the 1.49 utt/s forward+loss+decode variant).
+MEASURED_TF_CPU_UTT_PER_SEC = 5.24
+TITAN_X_ESTIMATE_UTT_PER_SEC = 72.0  # retained estimate (see docstring)
 
 # BENCH_SMOKE=1 shrinks everything for a CPU correctness pass of the
 # harness itself; real numbers come from the default shapes on the chip
@@ -61,6 +77,57 @@ PEAK_BF16_TFLOPS = {
     "TPU v6e": 918.0,
 }
 DEFAULT_PEAK_TFLOPS = 197.0
+
+
+def _total_busy_jiffies() -> float:
+    """Non-idle jiffies across all CPUs (/proc/stat cpu line)."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [float(x) for x in parts]
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0.0)  # idle + iowait
+    return sum(vals) - idle
+
+
+def _self_jiffies() -> float:
+    """This process's jiffies, all threads + reaped children."""
+    t = os.times()
+    hz = os.sysconf("SC_CLK_TCK")
+    return (t.user + t.system + t.children_user + t.children_system) * hz
+
+
+class HostLoadMonitor:
+    """Flags host-side CPU contention over a timed window.
+
+    On this 1-core host a concurrently running process (e.g. the CPU test
+    suite) silently halves host-bound bench rows (VERDICT r3 weak #2).
+    ``host_other_cpu_frac`` = fraction of total host CPU the window spent
+    in processes OTHER than this one; > 0.15 marks the row contended.
+    """
+
+    CONTENDED_FRAC = 0.15
+
+    def __enter__(self):
+        self._t0 = time.perf_counter()
+        self._busy0 = _total_busy_jiffies()
+        self._self0 = _self_jiffies()
+        return self
+
+    def __exit__(self, *exc):
+        wall = max(time.perf_counter() - self._t0, 1e-6)
+        hz = os.sysconf("SC_CLK_TCK")
+        other = (
+            (_total_busy_jiffies() - self._busy0)
+            - (_self_jiffies() - self._self0)
+        ) / hz
+        self.other_cpu_frac = max(0.0, other / wall)
+        self.contended = self.other_cpu_frac > self.CONTENDED_FRAC
+        return False
+
+    def annotate(self, row: dict) -> dict:
+        if isinstance(row, dict):
+            row["host_other_cpu_frac"] = round(self.other_cpu_frac, 3)
+            row["host_contended"] = self.contended
+        return row
 
 
 def _median_rate(fn, sync, per_iter_units, iters=_ITERS, windows=_WINDOWS, warmup=3):
@@ -540,10 +607,29 @@ def main():
         ("preprocess_device", bench_preprocess_device),
         ("streaming", lambda: bench_streaming(model, params)),
     ):
+        # rows with host-side work get a contention annotation; the
+        # device-bound rows are immune to host load by construction
+        host_bound = name.startswith("beam_lm_eval") or name in (
+            "preprocess_device", "streaming",
+        )
         try:
-            extra[name] = fn()
+            if host_bound:
+                with HostLoadMonitor() as mon:
+                    row = fn()
+                extra[name] = mon.annotate(row)
+            else:
+                extra[name] = fn()
         except Exception as e:  # a sub-bench must not kill the headline
             extra[name] = {"error": f"{type(e).__name__}: {e}"}
+
+    extra["baseline"] = {
+        "measured_tf_cpu_utt_per_sec": MEASURED_TF_CPU_UTT_PER_SEC,
+        "measured_with": "tools/tf_baseline.py (forward+decode, 1 core)",
+        "titan_x_estimate_utt_per_sec": TITAN_X_ESTIMATE_UTT_PER_SEC,
+    }
+    extra["vs_titan_x_estimate"] = round(
+        utt_per_sec / TITAN_X_ESTIMATE_UTT_PER_SEC, 2
+    )
 
     print(
         json.dumps(
@@ -551,7 +637,9 @@ def main():
                 "metric": "eval_throughput_utt_per_sec_per_chip",
                 "value": round(utt_per_sec, 2),
                 "unit": "utterances/sec/chip (batch 64, 1024 frames, greedy decode)",
-                "vs_baseline": round(utt_per_sec / BASELINE_UTT_PER_SEC, 2),
+                "vs_baseline": round(
+                    utt_per_sec / MEASURED_TF_CPU_UTT_PER_SEC, 2
+                ),
                 "extra": extra,
             }
         )

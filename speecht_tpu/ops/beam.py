@@ -161,16 +161,13 @@ class BeamSearchDecoder:
                     # of OOMing the chip mid-build
                     budget_bytes = int(budget_gb * (1 << 30))
                     try:
-                        if native.lm_is_binary(model_path):
-                            device_lm = beam_device.DeviceLM.from_binary(
-                                model_path, vocab,
-                                hbm_budget_bytes=budget_bytes,
-                            )
-                        else:
-                            device_lm = beam_device.DeviceLM(
-                                model_path, vocab,
-                                hbm_budget_bytes=budget_bytes,
-                            )
+                        # packed tables persist on disk keyed by LM/vocab
+                        # content — the build (minutes at 10M-n-gram
+                        # scale) is paid once per LM, not per process
+                        device_lm = beam_device.DeviceLM.cached(
+                            model_path, vocab,
+                            hbm_budget_bytes=budget_bytes,
+                        )
                     except beam_device.DeviceLMBudgetError as e:
                         print(
                             f"device LM tables need "

@@ -868,3 +868,86 @@ def test_lm_tables_lower_as_arguments_not_constants():
         f"lowered module is {text_len} bytes for {table_bytes}-byte "
         "tables -- tables are being embedded as constants again"
     )
+
+
+class TestDeviceLMCache:
+    """DeviceLM.cached persists the packed numpy tables on disk keyed by
+    LM/vocab content (VERDICT r3 #4): a second construction loads
+    bit-identically without rebuilding; a changed LM file rebuilds."""
+
+    def _paths(self, lm_dir):
+        return (
+            os.path.join(lm_dir, "model.arpa"),
+            os.path.join(lm_dir, "vocabulary"),
+        )
+
+    def test_second_load_is_bit_identical_and_skips_build(
+        self, lm_dir, tmp_path, monkeypatch
+    ):
+        cache = str(tmp_path / "lmcache")
+        arpa, vocab = self._paths(lm_dir)
+        first = beam_device.DeviceLM.cached(arpa, vocab, cache_dir=cache)
+        files = os.listdir(cache)
+        assert len(files) == 1 and files[0].endswith(".npz")
+
+        def boom(*a, **k):
+            raise AssertionError("cache miss: table build re-ran")
+
+        monkeypatch.setattr(beam_device, "_build_np_from_arpa", boom)
+        monkeypatch.setattr(beam_device, "_build_np_from_binary", boom)
+        second = beam_device.DeviceLM.cached(arpa, vocab, cache_dir=cache)
+
+        for k in first.tables:
+            np.testing.assert_array_equal(
+                np.asarray(first.tables[k]), np.asarray(second.tables[k])
+            )
+        for attr in ("order", "hist_len", "key_scheme", "unk_id",
+                     "bos_id", "unk_floor", "arena_two_choice",
+                     "words_two_choice"):
+            assert getattr(first, attr) == getattr(second, attr), attr
+
+    def test_changed_lm_file_rebuilds(self, lm_dir, tmp_path):
+        cache = str(tmp_path / "lmcache")
+        arpa, vocab = self._paths(lm_dir)
+        beam_device.DeviceLM.cached(arpa, vocab, cache_dir=cache)
+        assert len(os.listdir(cache)) == 1
+
+        # stale LM content must hash to a NEW entry, not hit the old one
+        changed = str(tmp_path / "model.arpa")
+        with open(arpa) as f:
+            text = f.read()
+        assert "-0.9" in text
+        with open(changed, "w") as f:
+            f.write(text.replace("-0.9", "-0.7", 1))
+        beam_device.DeviceLM.cached(changed, vocab, cache_dir=cache)
+        assert len(os.listdir(cache)) == 2
+
+    def test_binary_lm_cached_matches_direct(self, lm_dir, tmp_path):
+        cache = str(tmp_path / "lmcache")
+        arpa, vocab = self._paths(lm_dir)
+        binary = str(tmp_path / "kenlm-model.binary")
+        native.lm_write_binary(arpa, binary)
+
+        direct = beam_device.DeviceLM.from_binary(binary, vocab)
+        cached = beam_device.DeviceLM.cached(binary, vocab,
+                                             cache_dir=cache)
+        reloaded = beam_device.DeviceLM.cached(binary, vocab,
+                                               cache_dir=cache)
+        assert cached.key_scheme == "kenlm"
+        for k in direct.tables:
+            np.testing.assert_array_equal(
+                np.asarray(direct.tables[k]), np.asarray(cached.tables[k])
+            )
+            np.testing.assert_array_equal(
+                np.asarray(direct.tables[k]),
+                np.asarray(reloaded.tables[k]),
+            )
+
+    def test_budget_error_still_raised_from_cache(self, lm_dir, tmp_path):
+        cache = str(tmp_path / "lmcache")
+        arpa, vocab = self._paths(lm_dir)
+        beam_device.DeviceLM.cached(arpa, vocab, cache_dir=cache)
+        with pytest.raises(beam_device.DeviceLMBudgetError):
+            beam_device.DeviceLM.cached(
+                arpa, vocab, hbm_budget_bytes=16, cache_dir=cache
+            )
