@@ -26,6 +26,7 @@ from __future__ import annotations
 import dataclasses
 import queue
 import threading
+import time
 from typing import Callable, Iterator
 
 import jax
@@ -308,6 +309,14 @@ class PrefetchLoader:
         self._error: BaseException | None = None
         self._stop = threading.Event()
         self._finished = False
+        # stall accounting: a stall is the consumer finding the queue
+        # empty and blocking on the producer — the input pipeline (host
+        # batch build + H2D) failing to keep ahead of device compute.
+        # Cumulative over the loader's lifetime; the training loop reports
+        # per-interval deltas.
+        self.stall_count = 0
+        self.stall_seconds = 0.0
+        self.batches_yielded = 0
 
     def _worker(self, out_queue: queue.Queue, stop_event: threading.Event):
         # the queue/event are captured per worker run: a restarted loader
@@ -372,10 +381,20 @@ class PrefetchLoader:
             self._finished = False
             self.start()
         while True:
-            item = self._queue.get()
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                t0 = time.perf_counter()
+                item = self._queue.get()
+                waited = time.perf_counter() - t0
+                # ignore sub-ms wakeups; count real producer-behind waits
+                if waited > 0.002 and item is not self._SENTINEL:
+                    self.stall_count += 1
+                    self.stall_seconds += waited
             if item is self._SENTINEL:
                 self._finished = True
                 if self._error is not None:
                     raise self._error
                 return
+            self.batches_yielded += 1
             yield item

@@ -260,6 +260,7 @@ class Training(DatasetExecutor):
             else None
         )
         window_start = time.time()
+        stall_mark = (0, 0.0)  # (count, seconds) at the last interval
 
         with pmesh.use_mesh(self.mesh):
             loader = self.create_loader()
@@ -354,15 +355,29 @@ class Training(DatasetExecutor):
                         ),
                         flush=True,
                     )
-                    writer.add_scalars(
-                        global_step,
-                        {
-                            "loss": avg_loss,
-                            "learning_rate": lr,
-                            "grad_norm": avg_grad_norm,
-                            "step_time": step_time,
-                        },
-                    )
+                    scalars = {
+                        "loss": avg_loss,
+                        "learning_rate": lr,
+                        "grad_norm": avg_grad_norm,
+                        "step_time": step_time,
+                    }
+                    # input-pipeline health: stalls are the consumer
+                    # blocking on the prefetch queue this interval
+                    if hasattr(loader, "stall_count"):
+                        d_n = loader.stall_count - stall_mark[0]
+                        d_s = loader.stall_seconds - stall_mark[1]
+                        stall_mark = (
+                            loader.stall_count, loader.stall_seconds
+                        )
+                        scalars["prefetch_stalls"] = float(d_n)
+                        scalars["prefetch_stall_seconds"] = d_s
+                        if d_n:
+                            print(
+                                f"prefetch stalled {d_n} times "
+                                f"({d_s:.2f}s) this interval",
+                                flush=True,
+                            )
+                    writer.add_scalars(global_step, scalars)
                     # per-layer parameter histograms (+ filter/bias images
                     # when verbose), reduced on device: ~20 KB fetched
                     # instead of the ~90 MB parameter tree

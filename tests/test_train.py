@@ -560,6 +560,38 @@ class TestPipeline:
         )
         assert len(list(loader)) == 5
 
+    def test_prefetch_loader_counts_stalls(self):
+        # a slow producer forces the consumer to block on the queue; the
+        # stall counters are the input-pipeline health signal the training
+        # loop reports per checkpoint interval
+        import time as _time
+
+        from speecht_tpu.data.pipeline import PrefetchLoader
+
+        def slow_gen():
+            for _ in range(6):
+                _time.sleep(0.02)
+                yield np.zeros((10, 8), np.float32), [1]
+
+        loader = PrefetchLoader(slow_gen, batch_size=2, device_put=False)
+        n = len(list(loader))
+        assert n == 3
+        assert loader.batches_yielded == 3
+        assert loader.stall_count >= 1
+        assert loader.stall_seconds > 0.0
+
+        # a fast producer with a slow consumer must NOT count stalls
+        def fast_gen():
+            for _ in range(6):
+                yield np.zeros((10, 8), np.float32), [1]
+
+        loader = PrefetchLoader(fast_gen, batch_size=2, device_put=False)
+        it = iter(loader)
+        _time.sleep(0.1)  # let the producer fill the queue
+        for _ in it:
+            _time.sleep(0.01)
+        assert loader.stall_count == 0
+
     def test_prefetch_loader_propagates_errors(self):
         from speecht_tpu.data.pipeline import PrefetchLoader
 
