@@ -268,6 +268,13 @@ class CLI:
             help="Low-latency incremental transcription while recording.",
         )
         p.add_argument(
+            "--feature-rate", dest="feature_rate", type=int, default=22050,
+            help="Resample captured audio to this rate before the feature "
+            "front end (22050 = the preprocess cache rate the checkpoint "
+            "was trained on; 16000 reproduces the reference's raw-mic "
+            "behavior, which feature-mismatches cache-trained weights).",
+        )
+        p.add_argument(
             "--audio-source", dest="audio_source", type=str, nargs="+",
             default=None, metavar="FILE",
             help="Transcribe these audio files (flac, or float32 .npy at "

@@ -194,3 +194,74 @@ def batch_resample(
         precision=jax.lax.Precision.HIGHEST,
     )
     return y.reshape(B, nq * L)
+
+
+class StreamResampler:
+    """Streaming chunked resampler, sample-exact vs the whole-signal path.
+
+    Host-side companion for live input (`record --streaming`, reference
+    recording.py:31-69 capture loop): audio arrives in arbitrary-size
+    chunks at ``sr_in`` and leaves at ``sr_out`` producing EXACTLY the
+    samples ``native.resample`` would emit for the whole signal. The
+    trick is alignment + context:
+
+    - the internal buffer is only ever trimmed to an input index that is
+      a multiple of the polyphase hop ``M``, so the buffer-local output
+      grid coincides with the global grid (output ``j`` maps to input
+      position ``j*M/L``; with ``s0 = c*M`` the local output index is
+      ``j - c*L`` and its polyphase phase ``j mod L`` is preserved);
+    - ``guard`` input samples (> the sinc kernel half-width 64/scale) of
+      lookahead are withheld until more audio arrives, and 2x guard of
+      already-emitted context is kept behind the frontier, so every
+      emitted sample was computed with full two-sided kernel support —
+      identical to its whole-signal value.
+
+    ``process(chunk)`` returns the newly-available output samples (may be
+    empty); ``flush()`` emits the remainder including the right edge.
+    """
+
+    def __init__(self, sr_in: int, sr_out: int):
+        g = math.gcd(sr_in, sr_out)
+        self.sr_in, self.sr_out = sr_in, sr_out
+        self.L, self.M = sr_out // g, sr_in // g
+        scale = min(1.0, sr_out / sr_in)
+        self.guard = int(math.ceil(_NUM_ZEROS / scale)) + 8
+        self._buf = np.zeros(0, np.float32)
+        self._s0 = 0  # absolute input index of _buf[0]; multiple of M
+        self._emitted = 0  # output samples emitted so far
+        self._flushed = False
+
+    def _emit(self, out_hi: int) -> np.ndarray:
+        from speecht_tpu import native
+
+        if out_hi <= self._emitted:
+            return np.zeros(0, np.float32)
+        y = native.resample(self._buf, self.sr_in, self.sr_out)
+        base = self._s0 * self.L // self.M  # exact: s0 is a multiple of M
+        out = y[self._emitted - base : out_hi - base]
+        self._emitted = out_hi
+        # trim: keep 2x guard of context behind the next output's input
+        # position, rounded DOWN to a multiple of M (grid alignment)
+        keep_from = (self._emitted * self.M) // self.L - 2 * self.guard
+        keep_from -= keep_from % self.M
+        if keep_from > self._s0:
+            self._buf = self._buf[keep_from - self._s0 :]
+            self._s0 = keep_from
+        return out
+
+    def process(self, chunk: np.ndarray) -> np.ndarray:
+        if self._flushed:
+            raise RuntimeError("StreamResampler already flushed")
+        chunk = np.asarray(chunk, dtype=np.float32).ravel()
+        if len(chunk):
+            self._buf = np.concatenate([self._buf, chunk])
+        s1 = self._s0 + len(self._buf)
+        # outputs whose input position has full right-side kernel support
+        out_hi = max(0, ((s1 - self.guard) * self.L) // self.M)
+        return self._emit(out_hi)
+
+    def flush(self) -> np.ndarray:
+        """Remaining output, matching the whole-signal output length."""
+        self._flushed = True
+        s1 = self._s0 + len(self._buf)
+        return self._emit(int(out_count(s1, self.sr_in, self.sr_out)))

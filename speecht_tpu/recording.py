@@ -60,6 +60,15 @@ class Recording:
 
         flags = self.flags
         sample_rate = 16000
+        # checkpoints are trained on cache-rate features (22050 — the
+        # reference pipeline resamples every corpus file there,
+        # preprocessing.py:169's librosa.load); the mic captures at
+        # 16 kHz, so captured audio is resampled to the feature rate
+        # before the front end — the reference feeds 16 kHz audio
+        # straight in (recording.py:34,57-58), a train/record feature
+        # mismatch this executor fixes. `--feature-rate 16000`
+        # reproduces the reference behavior.
+        feature_rate = getattr(flags, "feature_rate", 22050)
         recorder = self._make_recorder(sample_rate, chunk_size=4 * 1024)
 
         model = build_model(flags.input_size, flags)
@@ -68,7 +77,9 @@ class Recording:
         state = ckpt.restore(state)
 
         if getattr(flags, "streaming", False):
-            return self._run_streaming(model, state, recorder, sample_rate)
+            return self._run_streaming(
+                model, state, recorder, sample_rate, feature_rate
+            )
 
         decoder = self._make_decoder(model)
 
@@ -82,12 +93,20 @@ class Recording:
                 # (reference recording.py:38's `while True`)
                 return transcripts
             raw_audio = np.asarray(raw_audio)
+            if feature_rate != sample_rate:
+                from speecht_tpu import native
+
+                raw_audio = native.resample(
+                    raw_audio, sample_rate, feature_rate
+                )
 
             print("Generate MFCCs or power spectrogram")
             if flags.feature_type == "power":
-                speech_input = F.calc_power_spectrogram(raw_audio, sample_rate)
+                speech_input = F.calc_power_spectrogram(
+                    raw_audio, feature_rate
+                )
             elif flags.feature_type == "mfcc":
-                speech_input = F.calc_mfccs(raw_audio, sample_rate)
+                speech_input = F.calc_mfccs(raw_audio, feature_rate)
             else:
                 raise NotImplementedError(
                     "Only power and mfccs are supported for input types."
@@ -104,19 +123,29 @@ class Recording:
             print(f"decoded: {decoded_str}")
             transcripts.append(decoded_str)
 
-    def _run_streaming(self, model, state, recorder, sample_rate):
+    def _run_streaming(self, model, state, recorder, sample_rate,
+                       feature_rate=None):
         """Low-latency mode: incremental transcription while audio arrives.
 
         Reads raw chunks straight off the microphone stream (no silence
-        gate) and refreshes the partial transcript after each chunk.
+        gate) and refreshes the partial transcript after each chunk. When
+        ``feature_rate`` differs from the capture rate, chunks pass
+        through a sample-exact streaming resampler (ops/resample.py
+        StreamResampler) so the recognizer sees cache-rate audio.
         """
         from speecht_tpu.ops.streaming import StreamingRecognizer
         from speecht_tpu.record_utils import AudioSourceExhausted
 
+        feature_rate = feature_rate or sample_rate
+        resampler = None
+        if feature_rate != sample_rate:
+            from speecht_tpu.ops.resample import StreamResampler
+
+            resampler = StreamResampler(sample_rate, feature_rate)
         rec = StreamingRecognizer(
             model,
             state.params,
-            sample_rate=sample_rate,
+            sample_rate=feature_rate,
             feature_type=self.flags.feature_type,
         )
         # with --language-model the PARTIALS are LM-fused too (a narrow
@@ -134,7 +163,10 @@ class Recording:
             print("Streaming transcription (ctrl-c to stop)")
             try:
                 while True:
-                    partial = rec.accept_chunk(read_chunk())
+                    chunk = read_chunk()
+                    if resampler is not None:
+                        chunk = resampler.process(chunk)
+                    partial = rec.accept_chunk(chunk)
                     if beam is not None and beam.lm is not None:
                         partial = rec.partial_text_fused(
                             beam.lm,
@@ -150,6 +182,8 @@ class Recording:
             except (KeyboardInterrupt, AudioSourceExhausted):
                 # ctrl-c on a mic, end-of-audio on a file source
                 print()
+                if resampler is not None:
+                    rec.accept_chunk(resampler.flush())
                 final = rec.finalize(beam=beam)
                 print(f"decoded: {final}")
                 return final

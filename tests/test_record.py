@@ -116,31 +116,49 @@ def test_file_audio_source_stream_chunks_reconstruct_audio():
 # -- end-to-end through the CLI ---------------------------------------------
 
 
-def test_record_one_shot_matches_offline_decode(workdir, capsys):
-    """`record --audio-source f.flac` prints exactly the transcript the
-    offline pipeline (post chain -> features -> eval step) produces."""
+def _one_shot_expected(workdir, feature_rate: int) -> str:
+    """The record one-shot chain composed by hand: post chain ->
+    (resample to the feature rate) -> features -> eval step."""
     from speecht_tpu.data import features as F
     from speecht_tpu.data.pipeline import single_batch
     from speecht_tpu.train import step as tstep
 
-    transcripts = run_cli(workdir, "record", "--audio-source", FLAC)
-    out = capsys.readouterr().out
-
-    # offline expected: the same chain, composed by hand
     raw, sr = native.flac_decode(FLAC)
     audio = postprocess_recording(raw, sr)
-    feats = F.calc_power_spectrogram(audio, sr)
+    if feature_rate != sr:
+        audio = native.resample(audio, sr, feature_rate)
+    feats = F.calc_power_spectrogram(audio, feature_rate)
     model, state = _restored_params(workdir)
     _loss, dec, lens = tstep.make_eval_step(model)(
         state.params, single_batch(feats)
     )
-    expected = vocabulary.ids_to_sentence(
+    return vocabulary.ids_to_sentence(
         np.asarray(dec)[0, : np.asarray(lens)[0]]
     )
+
+
+def test_record_one_shot_matches_offline_decode(workdir, capsys):
+    """`record --audio-source f.flac` prints exactly the transcript the
+    offline pipeline produces (default: features at the 22050 cache
+    rate the checkpoint was trained on)."""
+    transcripts = run_cli(workdir, "record", "--audio-source", FLAC)
+    out = capsys.readouterr().out
+    expected = _one_shot_expected(workdir, 22050)
 
     assert transcripts == [expected]
     assert f"decoded: {expected}" in out
     assert "Recording audio" in out
+
+
+def test_record_feature_rate_16000_is_reference_behavior(workdir, capsys):
+    """`--feature-rate 16000` skips the resample — the reference's
+    raw-mic front end (reference recording.py:34,57-58)."""
+    transcripts = run_cli(
+        workdir, "record", "--audio-source", FLAC,
+        "--feature-rate", "16000",
+    )
+    capsys.readouterr()
+    assert transcripts == [_one_shot_expected(workdir, 16000)]
 
 
 def test_record_multiple_files(workdir):
@@ -154,7 +172,7 @@ def test_record_multiple_files(workdir):
 def test_record_streaming_matches_offline_decode(workdir, capsys):
     """`record --streaming --audio-source` runs the live chunk loop off the
     file stream and its final transcript equals the exact offline greedy
-    decode of the full audio."""
+    decode of the full (cache-rate-resampled) audio."""
     from speecht_tpu.data import features as F
     from speecht_tpu.ops.streaming import greedy_collapse
 
@@ -164,7 +182,12 @@ def test_record_streaming_matches_offline_decode(workdir, capsys):
     out = capsys.readouterr().out
 
     raw, sr = native.flac_decode(FLAC)
-    feats = F.calc_power_spectrogram(raw, sr)
+    # the file source zero-pads the stream's last chunk to 4096 samples;
+    # the recognizer buffers the resample of that padded signal
+    padded = np.pad(raw, (0, -len(raw) % 4096))
+    feats = F.calc_power_spectrogram(
+        native.resample(padded, sr, 22050), 22050
+    )
     model, state = _restored_params(workdir)
     import jax
 

@@ -92,3 +92,39 @@ def test_fixture_flac_native_rate_roundtrip():
     cnt = R.out_count(len(raw), 16000, 22050)
     assert cnt == len(host) == 114881  # reference golden sample count
     np.testing.assert_allclose(y[0, :cnt], host, atol=1e-5)
+
+
+class TestStreamResampler:
+    """Chunked streaming resample == whole-signal native.resample, bit-exact
+    (the `record --streaming` capture path feeds cache-rate features from a
+    16 kHz mic through this)."""
+
+    @pytest.mark.parametrize("pair", [(16000, 22050), (22050, 16000),
+                                      (8000, 22050)])
+    def test_matches_whole_signal_exactly(self, pair):
+        from speecht_tpu.ops.resample import StreamResampler
+
+        sr_in, sr_out = pair
+        rng = np.random.RandomState(7)
+        x = (rng.randn(sr_in * 3 + 1234) * 0.3).astype(np.float32)
+        want = native.resample(x, sr_in, sr_out)
+
+        r = StreamResampler(sr_in, sr_out)
+        outs, i = [], 0
+        while i < len(x):
+            n = int(rng.randint(256, 5000))
+            outs.append(r.process(x[i : i + n]))
+            i += n
+        outs.append(r.flush())
+        got = np.concatenate(outs)
+        assert got.shape == want.shape
+        np.testing.assert_array_equal(got, want)
+
+    def test_flush_is_terminal(self):
+        from speecht_tpu.ops.resample import StreamResampler
+
+        r = StreamResampler(16000, 22050)
+        r.process(np.zeros(4096, np.float32))
+        r.flush()
+        with pytest.raises(RuntimeError):
+            r.process(np.zeros(10, np.float32))

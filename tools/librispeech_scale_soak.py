@@ -195,6 +195,9 @@ def main():
     ap.add_argument("--out", type=str, default="/root/soak")
     ap.add_argument("--skip-gen", action="store_true",
                     help="Corpus already generated under --out.")
+    ap.add_argument("--gen-only", action="store_true",
+                    help="Generate the corpus and exit (so generation can "
+                    "overlap other chip work before the train starts).")
     args = ap.parse_args()
 
     root = args.out
@@ -220,6 +223,9 @@ def main():
         occ = bucket_occupancy(root, args.bucket_step)
         print(f"bucket occupancy: {json.dumps(occ)}")
         log("buckets", occ)
+    if args.gen_only:
+        print("corpus generated; exiting (--gen-only)")
+        return
 
     lm_dir = write_lm(root)
     common = [
