@@ -104,9 +104,11 @@ class FileAudioSource:
     def open_input_stream(self):
         """Raw chunk reader over the concatenation of all files.
 
-        Mirrors the mic stream contract: each call returns exactly
-        ``chunk_size`` float32 samples (the tail is zero-padded); when the
-        audio is exhausted the next call raises AudioSourceExhausted.
+        Mirrors the mic stream contract (``chunk_size`` float32 samples
+        per call) except at EOF: the final chunk is returned short rather
+        than zero-padded — synthetic trailing silence would append
+        phantom frames a real mic stream never produces — and the next
+        call raises AudioSourceExhausted.
         """
         audio = np.concatenate([self._load(p) for p in self._paths])
         state = {"pos": 0}
@@ -117,8 +119,6 @@ class FileAudioSource:
                 raise AudioSourceExhausted()
             chunk = audio[pos : pos + self.chunk_size]
             state["pos"] = pos + self.chunk_size
-            if len(chunk) < self.chunk_size:
-                chunk = np.pad(chunk, (0, self.chunk_size - len(chunk)))
             return chunk.astype(np.float32)
 
         yield read_chunk

@@ -104,13 +104,11 @@ def test_file_audio_source_stream_chunks_reconstruct_audio():
     with src.open_input_stream() as read_chunk:
         with pytest.raises(AudioSourceExhausted):
             while True:
-                c = read_chunk()
-                assert len(c) == 4096
-                chunks.append(c)
-    got = np.concatenate(chunks)
-    np.testing.assert_array_equal(got[: len(raw)], raw)
-    # tail is zero-padded to a whole chunk
-    assert not got[len(raw):].any()
+                chunks.append(read_chunk())
+    # full chunks except a short (never zero-padded) tail
+    assert all(len(c) == 4096 for c in chunks[:-1])
+    assert 0 < len(chunks[-1]) <= 4096
+    np.testing.assert_array_equal(np.concatenate(chunks), raw)
 
 
 # -- end-to-end through the CLI ---------------------------------------------
@@ -182,11 +180,10 @@ def test_record_streaming_matches_offline_decode(workdir, capsys):
     out = capsys.readouterr().out
 
     raw, sr = native.flac_decode(FLAC)
-    # the file source zero-pads the stream's last chunk to 4096 samples;
-    # the recognizer buffers the resample of that padded signal
-    padded = np.pad(raw, (0, -len(raw) % 4096))
+    # the streamed audio is the sample-exact resample of the raw file, so
+    # finalize's features equal the offline front end's exactly
     feats = F.calc_power_spectrogram(
-        native.resample(padded, sr, 22050), 22050
+        native.resample(raw, sr, 22050), 22050
     )
     model, state = _restored_params(workdir)
     import jax

@@ -42,12 +42,23 @@ from fixture_corpus import (  # noqa: E402
 FLAC = os.path.join(FIXTURE_DIR, FIXTURE_ID + ".flac")
 
 
-def main(steps: int = 250):
+def main(steps: int = 700):
     from speecht_tpu.cli import CLI
 
     root = tempfile.mkdtemp(prefix="record_")
     make_fixture_corpus(root)
-    common = preprocess_and_train(root, "record", steps)
+    # the one-shot path applies the mic post chain (normalize/trim/pad),
+    # which shifts framing and per-utterance normalization vs the cache
+    # features — train with narrow SpecAugment masks (the
+    # train_features_check recipe) so the overfit model tolerates it
+    common = preprocess_and_train(
+        root, "record", steps,
+        extra_train_flags=[
+            "--spec-augment",
+            "--spec-augment-freq-width", "8",
+            "--spec-augment-time-frac", "0.02",
+        ],
+    )
 
     print("\n--- record (one-shot, file-backed recorder) ---")
     transcripts = CLI(
@@ -83,4 +94,4 @@ def main(steps: int = 250):
 
 
 if __name__ == "__main__":
-    sys.exit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 250))
+    sys.exit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 700))
