@@ -36,29 +36,58 @@ from fixture_corpus import (  # noqa: E402
     FIXTURE_DIR,
     FIXTURE_ID,
     make_fixture_corpus,
-    preprocess_and_train,
 )
 
 FLAC = os.path.join(FIXTURE_DIR, FIXTURE_ID + ".flac")
 
 
+def _add_postprocessed_variant(root: str):
+    """Cache the mic-post-chain variant of the fixture as a second
+    training utterance.
+
+    The one-shot record path normalizes/trims/pads captured audio
+    (reference record_utils.py:117-121) before the front end; an
+    overfit-on-one-utterance model has no reason to generalize to that
+    reframing, so the drill trains on BOTH the raw and the postprocessed
+    signal — the production situation, where training data passes the
+    same front end the mic path uses."""
+    import numpy as np
+
+    from speecht_tpu import native, vocabulary
+    from speecht_tpu.data import features as F
+    from speecht_tpu.record_utils import postprocess_recording
+
+    raw, sr = native.flac_decode(os.path.join(FIXTURE_DIR, FIXTURE_ID + ".flac"))
+    audio = native.resample(postprocess_recording(raw, sr), sr, 22050)
+    feats = F.calc_power_spectrogram(audio, 22050)
+    out = os.path.join(root, "data", "preprocessed-power", "train")
+    np.savez(
+        os.path.join(out, FIXTURE_ID + "-mic"),
+        audio_fragments=feats,
+        transcript=np.asarray(
+            vocabulary.sentence_to_ids(EXPECTED), np.int64
+        ),
+    )
+
+
 def main(steps: int = 700):
     from speecht_tpu.cli import CLI
+    from fixture_corpus import common_flags
 
     root = tempfile.mkdtemp(prefix="record_")
     make_fixture_corpus(root)
-    # the one-shot path applies the mic post chain (normalize/trim/pad),
-    # which shifts framing and per-utterance normalization vs the cache
-    # features — train with narrow SpecAugment masks (the
-    # train_features_check recipe) so the overfit model tolerates it
-    common = preprocess_and_train(
-        root, "record", steps,
-        extra_train_flags=[
-            "--spec-augment",
-            "--spec-augment-freq-width", "8",
-            "--spec-augment-time-frac", "0.02",
-        ],
-    )
+    common = common_flags(root, "record")
+    CLI(["preprocess", "--num-workers", "1"] + common).run()
+    _add_postprocessed_variant(root)
+    CLI(
+        [
+            "train",
+            "--max-steps", str(steps),
+            "--steps-per-checkpoint", str(steps),
+            "--learning-rate", "3e-4",
+        ]
+        + common
+    ).run()
 
     print("\n--- record (one-shot, file-backed recorder) ---")
     transcripts = CLI(
