@@ -38,17 +38,16 @@ def main():
     args = ap.parse_args()
 
     runtime.enable_compilation_cache()
-    from speecht_tpu import native, vocabulary
+    from speecht_tpu import vocabulary
     from speecht_tpu.ops import beam_device
     from speecht_tpu.ops.beam import find_lm_files
 
     lm = None
     if args.lm_dir and not args.rescore:
         model_path, vocab = find_lm_files(args.lm_dir)
-        if native.lm_is_binary(model_path):
-            lm = beam_device.DeviceLM.from_binary(model_path, vocab)
-        else:
-            lm = beam_device.DeviceLM(model_path, vocab)
+        # same cached path the CLI uses: warming also persists the packed
+        # LM tables, so later runs skip the build entirely
+        lm = beam_device.DeviceLM.cached(model_path, vocab)
 
     fn = beam_device.make_device_beam_search(
         args.beam_width,
