@@ -23,6 +23,12 @@ once, vs the XLA path's additional [B,T,S] emit and posterior round trips.
 Layout: time-indexed arrays are time-major [T, B, .] so time blocks are
 (1, B_tile, lanes)-shaped; S (extended label states) is padded to lanes
 (128); batch is tiled on sublanes (8). All math f32, log-space.
+
+Tiling adapts to the shape: `_pick_tiles` shrinks the time block (then the
+batch tile) until the backward pass's resident VMEM fits the ~16 MB scoped
+budget — long-utterance buckets derive extended labels wide enough
+(S_pad >= 1280) to overflow the default (32, 16) tiling, found by the
+corpus-scale soak. Shapes beyond every tiling fall back to the XLA scan.
 """
 
 from __future__ import annotations
@@ -38,13 +44,38 @@ from speecht_tpu.ops import ctc as ctc_xla
 
 NEG_INF = -1e30
 
-BATCH_TILE = 32  # batch rows per grid step (wide VPU tiles in the recurrence)
+BATCH_TILE = 32  # preferred batch rows per grid step (wide VPU tiles)
 LANES = 128
-TIME_BLOCK = 16  # time steps per grid iteration (amortizes block switching)
+TIME_BLOCK = 16  # preferred time steps per grid iteration
 
 
 def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
+
+
+def _pick_tiles(S_pad: int, C_pad: int) -> tuple[int, int] | None:
+    """(batch_tile, time_block) fitting the TPU's ~16 MB scoped-vmem budget.
+
+    The backward pass is the high-water mark: four [K, Bt, S] blocks
+    (alpha in, post out, emit + beta scratch) + the [Bt, C, S] one-hot +
+    the [K, Bt, C] logp block + row carries live in VMEM simultaneously.
+    The default (32, 16) tiling overflows the 16 MB scoped limit once
+    S_pad reaches 1280 (long-utterance buckets: T=2304 frames derives a
+    1153-state extended label) — found by the corpus-scale soak, where
+    XLA aborted compilation with a kernel-vmem-stack OOM. Budget 12 MB to
+    leave headroom for Mosaic's own stack; shrink time first (cheap:
+    more grid steps), then batch. Returns None when even (8, 1) does not
+    fit — the caller falls back to the XLA scan CTC.
+    """
+    budget_words = 12 * (1 << 20) // 4
+    for bt in (32, 16, 8):
+        one_hot = bt * C_pad * S_pad
+        rows = 6 * bt * S_pad  # alpha/beta/emit carries + init/final/allow
+        for k in (16, 8, 4, 2, 1):
+            blocks = 4 * k * bt * S_pad + k * bt * C_pad
+            if blocks + one_hot + rows <= budget_words:
+                return bt, k
+    return None
 
 
 def _logaddexp3(a, b, c):
@@ -204,16 +235,17 @@ def _backward_kernel(
     post_ref[:, :, :] = jnp.where(valid, post, 0.0) * g_ref[:, :][None]
 
 
-def _prepare_operands(logits, logit_lengths, labels, label_lengths):
+def _prepare_operands(logits, logit_lengths, labels, label_lengths, tiles):
     """Pad + precompute the kernel operands (pure XLA, cheap)."""
+    batch_tile, time_block = tiles
     B, T, C = logits.shape
     L = labels.shape[1]
     S = 2 * L + 1
     S_pad = _round_up(S, LANES)
     C_pad = C  # classes stay unpadded: blocks cover the full class dim
-    B_pad = _round_up(B, BATCH_TILE)
+    B_pad = _round_up(B, batch_tile)
 
-    T_pad = _round_up(T, TIME_BLOCK)
+    T_pad = _round_up(T, time_block)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     logp = jnp.pad(logp, ((0, B_pad - B), (0, T_pad - T), (0, 0)))
     logp_tm = jnp.swapaxes(logp, 0, 1)  # [T_pad, B_pad, C]
@@ -249,24 +281,37 @@ def _prepare_operands(logits, logit_lengths, labels, label_lengths):
     return logp_tm, ext_oh, allow, init, final, lengths, dims
 
 
-def _row_spec(S_pad):
+def _row_spec(S_pad, batch_tile):
     return pl.BlockSpec(
-        (BATCH_TILE, S_pad), lambda b, t: (b, 0), memory_space=pltpu.VMEM
+        (batch_tile, S_pad), lambda b, t: (b, 0), memory_space=pltpu.VMEM
     )
 
 
-def _scalar_spec():
+def _scalar_spec(batch_tile):
     return pl.BlockSpec(
-        (BATCH_TILE, 1), lambda b, t: (b, 0), memory_space=pltpu.VMEM
+        (batch_tile, 1), lambda b, t: (b, 0), memory_space=pltpu.VMEM
     )
+
+
+def _tiles_for(labels_width: int, C: int) -> tuple[int, int] | None:
+    S_pad = _round_up(2 * labels_width + 1, LANES)
+    return _pick_tiles(S_pad, C)
 
 
 def _forward(logits, logit_lengths, labels, label_lengths):
+    tiles = _tiles_for(labels.shape[1], logits.shape[2])
+    if tiles is None:
+        raise ValueError(
+            f"label width {labels.shape[1]} exceeds every VMEM tiling; "
+            "use ops.ctc.ctc_loss (the ctc_loss wrapper falls back "
+            "automatically)"
+        )
+    batch_tile, k_time = tiles
     (logp_tm, ext_oh, allow, init, final, lengths, dims) = _prepare_operands(
-        logits, logit_lengths, labels, label_lengths
+        logits, logit_lengths, labels, label_lengths, tiles
     )
     B, T_pad, C, S_pad, B_pad, C_pad = dims
-    grid = (B_pad // BATCH_TILE, T_pad // TIME_BLOCK)
+    grid = (B_pad // batch_tile, T_pad // k_time)
 
     time_block = lambda b, t: (t, b, 0)  # noqa: E731
 
@@ -275,35 +320,35 @@ def _forward(logits, logit_lengths, labels, label_lengths):
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (TIME_BLOCK, BATCH_TILE, C_pad),
+                (k_time, batch_tile, C_pad),
                 time_block,
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (BATCH_TILE, C_pad, S_pad),
+                (batch_tile, C_pad, S_pad),
                 lambda b, t: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            _row_spec(S_pad),
-            _row_spec(S_pad),
-            _row_spec(S_pad),
-            _scalar_spec(),
+            _row_spec(S_pad, batch_tile),
+            _row_spec(S_pad, batch_tile),
+            _row_spec(S_pad, batch_tile),
+            _scalar_spec(batch_tile),
         ],
         out_specs=[
             pl.BlockSpec(
-                (TIME_BLOCK, BATCH_TILE, S_pad),
+                (k_time, batch_tile, S_pad),
                 time_block,
                 memory_space=pltpu.VMEM,
             ),
-            _scalar_spec(),
+            _scalar_spec(batch_tile),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T_pad, B_pad, S_pad), jnp.float32),
             jax.ShapeDtypeStruct((B_pad, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((BATCH_TILE, S_pad), jnp.float32),
-            pltpu.VMEM((TIME_BLOCK, BATCH_TILE, S_pad), jnp.float32),
+            pltpu.VMEM((batch_tile, S_pad), jnp.float32),
+            pltpu.VMEM((k_time, batch_tile, S_pad), jnp.float32),
         ],
     )(logp_tm, ext_oh, allow, init, final, lengths)
 
@@ -363,8 +408,10 @@ def _bwd_rule(res, g):
     g_pad = jnp.pad(g.astype(jnp.float32), (0, B_pad - B))[:, None]
     logp_total = -loss_pad  # [B_pad, 1]
 
-    n_blocks = T_pad // TIME_BLOCK
-    grid = (B_pad // BATCH_TILE, n_blocks)
+    # same deterministic tile choice the forward made for this shape
+    batch_tile, k_time = _tiles_for(labels.shape[1], C)
+    n_blocks = T_pad // k_time
+    grid = (B_pad // batch_tile, n_blocks)
     rev_block = lambda b, t: (n_blocks - 1 - t, b, 0)  # noqa: E731
 
     post_tm = pl.pallas_call(
@@ -372,37 +419,37 @@ def _bwd_rule(res, g):
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (TIME_BLOCK, BATCH_TILE, C_pad),
+                (k_time, batch_tile, C_pad),
                 rev_block,
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (BATCH_TILE, C_pad, S_pad),
+                (batch_tile, C_pad, S_pad),
                 lambda b, t: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            _row_spec(S_pad),
-            _row_spec(S_pad),
-            _scalar_spec(),
-            _scalar_spec(),
+            _row_spec(S_pad, batch_tile),
+            _row_spec(S_pad, batch_tile),
+            _scalar_spec(batch_tile),
+            _scalar_spec(batch_tile),
             pl.BlockSpec(
-                (TIME_BLOCK, BATCH_TILE, S_pad),
+                (k_time, batch_tile, S_pad),
                 rev_block,
                 memory_space=pltpu.VMEM,
             ),
-            _scalar_spec(),
+            _scalar_spec(batch_tile),
         ],
         out_specs=pl.BlockSpec(
-            (TIME_BLOCK, BATCH_TILE, S_pad),
+            (k_time, batch_tile, S_pad),
             rev_block,
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((T_pad, B_pad, S_pad), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((BATCH_TILE, S_pad), jnp.float32),
-            pltpu.VMEM((BATCH_TILE, S_pad), jnp.float32),
-            pltpu.VMEM((TIME_BLOCK, BATCH_TILE, S_pad), jnp.float32),
-            pltpu.VMEM((TIME_BLOCK, BATCH_TILE, S_pad), jnp.float32),
+            pltpu.VMEM((batch_tile, S_pad), jnp.float32),
+            pltpu.VMEM((batch_tile, S_pad), jnp.float32),
+            pltpu.VMEM((k_time, batch_tile, S_pad), jnp.float32),
+            pltpu.VMEM((k_time, batch_tile, S_pad), jnp.float32),
         ],
     )(logp_tm, ext_oh, allow, final, lengths, logp_total, alpha_hist, g_pad)
 
@@ -430,8 +477,12 @@ ctc_loss_pallas.defvjp(_fwd_rule, _bwd_rule)
 
 
 def ctc_loss(logits, logit_lengths, labels, label_lengths):
-    """Pallas CTC (TPU); falls back to the XLA scan off-TPU."""
-    if jax.default_backend() in ("tpu", "axon"):
+    """Pallas CTC (TPU); falls back to the XLA scan off-TPU — and on TPU
+    for label widths so extreme (> ~5k states) that no tiling fits the
+    scoped-vmem budget (`_pick_tiles` returns None)."""
+    if jax.default_backend() in ("tpu", "axon") and _tiles_for(
+        labels.shape[1], logits.shape[2]
+    ):
         return ctc_loss_pallas(
             logits,
             logit_lengths.astype(jnp.int32),

@@ -109,3 +109,78 @@ def test_dispatcher_uses_xla_on_cpu():
         ctc_xla.ctc_loss(logits, logit_lengths, labels, label_lengths)
     )
     np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+
+class TestAdaptiveTiling:
+    """Long-utterance buckets derive wide extended labels; the fixed
+    (32, 16) tiling blew the TPU's 16 MB scoped-vmem budget at S_pad=1280
+    (T=2304-frame bucket — found by the corpus-scale soak). Tiles now
+    shrink per shape, and the dispatcher falls back to XLA when nothing
+    fits."""
+
+    def test_pick_tiles_respects_budget(self):
+        budget_words = 12 * (1 << 20) // 4
+        C = vocabulary.NUM_CLASSES
+        for S_pad in (128, 256, 1280, 2304, 4096, 8192):
+            tiles = ctc_pallas._pick_tiles(S_pad, C)
+            assert tiles is not None, S_pad
+            bt, k = tiles
+            use = (
+                4 * k * bt * S_pad + k * bt * C + bt * C * S_pad
+                + 6 * bt * S_pad
+            )
+            assert use <= budget_words, (S_pad, tiles)
+        # standard shapes keep the fast tiling
+        assert ctc_pallas._pick_tiles(128, C) == (32, 16)
+        # the soak's crash shape must NOT get the default tiling
+        assert ctc_pallas._pick_tiles(1280, C) != (32, 16)
+        # beyond any tiling -> None (dispatcher falls back to XLA)
+        assert ctc_pallas._pick_tiles(1 << 20, C) is None
+
+    def test_wide_label_shape_matches_xla(self):
+        # S = 2*576+1 = 1153 -> S_pad 1280: the exact state width that
+        # crashed on hardware, at a small T/B so interpret mode is cheap
+        rng = np.random.RandomState(3)
+        B, T, L = 2, 24, 576
+        C = vocabulary.NUM_CLASSES
+        logits = rng.randn(B, T, C).astype(np.float32)
+        labels = np.full((B, L), vocabulary.PAD_ID, np.int32)
+        label_lengths = np.array([9, 11], np.int32)
+        for b in range(B):
+            labels[b, : label_lengths[b]] = rng.randint(
+                0, 28, size=label_lengths[b]
+            )
+        logit_lengths = np.array([T, T - 3], np.int32)
+
+        ref_loss = np.asarray(
+            ctc_xla.ctc_loss(logits, logit_lengths, labels, label_lengths)
+        )
+        ref_grad = np.asarray(
+            jax.grad(
+                lambda x: jnp.sum(
+                    ctc_xla.ctc_loss(
+                        x, logit_lengths, labels, label_lengths
+                    )
+                )
+            )(jnp.asarray(logits))
+        )
+        with pltpu.force_tpu_interpret_mode():
+            got_loss = np.asarray(
+                ctc_pallas.ctc_loss_pallas(
+                    jnp.asarray(logits),
+                    jnp.asarray(logit_lengths),
+                    jnp.asarray(labels),
+                    jnp.asarray(label_lengths),
+                )
+            )
+            got_grad = np.asarray(
+                jax.grad(
+                    lambda x: jnp.sum(
+                        ctc_pallas.ctc_loss_pallas(
+                            x, logit_lengths, labels, label_lengths
+                        )
+                    )
+                )(jnp.asarray(logits))
+            )
+        np.testing.assert_allclose(got_loss, ref_loss, rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(got_grad, ref_grad, rtol=1e-4, atol=1e-4)
