@@ -24,11 +24,15 @@ Layout: time-indexed arrays are time-major [T, B, .] so time blocks are
 (1, B_tile, lanes)-shaped; S (extended label states) is padded to lanes
 (128); batch is tiled on sublanes (8). All math f32, log-space.
 
-Tiling adapts to the shape: `_pick_tiles` shrinks the time block (then the
-batch tile) until the backward pass's resident VMEM fits the ~16 MB scoped
-budget — long-utterance buckets derive extended labels wide enough
-(S_pad >= 1280) to overflow the default (32, 16) tiling, found by the
-corpus-scale soak. Shapes beyond every tiling fall back to the XLA scan.
+Tiling adapts to the shape AND batch: `_pick_tiles` shrinks the time block
+(then the batch tile) until both kernels' resident VMEM — including
+Mosaic's double buffering of every grid-varying block — fits the 16 MB
+scoped budget. Long-utterance buckets derive extended labels wide enough
+(S_pad >= 1280) to overflow the default (32, 16) tiling, and batches
+larger than the batch tile double-buffer the [Bt, C, S] one-hot on top;
+both cases were found by the corpus-scale soak (train crash at S_pad=1280,
+eval crash at S_pad=2176/B=64). Shapes beyond every tiling fall back to
+the XLA scan.
 """
 
 from __future__ import annotations
@@ -53,27 +57,62 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-def _pick_tiles(S_pad: int, C_pad: int) -> tuple[int, int] | None:
-    """(batch_tile, time_block) fitting the TPU's ~16 MB scoped-vmem budget.
+def _kernel_words_fb(
+    bt: int, k: int, S: int, C: int, mb: int
+) -> tuple[int, int]:
+    """Modeled resident VMEM words per grid step: (forward, backward).
 
-    The backward pass is the high-water mark: four [K, Bt, S] blocks
-    (alpha in, post out, emit + beta scratch) + the [Bt, C, S] one-hot +
-    the [K, Bt, C] logp block + row carries live in VMEM simultaneously.
-    The default (32, 16) tiling overflows the 16 MB scoped limit once
-    S_pad reaches 1280 (long-utterance buckets: T=2304 frames derives a
-    1153-state extended label) — found by the corpus-scale soak, where
-    XLA aborted compilation with a kernel-vmem-stack OOM. Budget 12 MB to
-    leave headroom for Mosaic's own stack; shrink time first (cheap:
-    more grid steps), then batch. Returns None when even (8, 1) does not
-    fit — the caller falls back to the XLA scan CTC.
+    Mosaic pipelines every in/out block with TWO buffers when its index
+    map changes over the traversed grid; blocks whose index never changes
+    get one. Time blocks (logp, alpha history, posteriors) always change
+    (t is the inner grid axis); the b-indexed blocks (the [Bt, C, S]
+    one-hot, the [Bt, S] rows, the scalars) change only when the batch
+    grid has more than one step — ``mb`` is 2 iff B > bt else 1.
+    Scratch shapes are single-buffered.
+
+    Calibrated against two hardware observations (v5e, 16 MB scoped
+    limit): the soak's eval crash at bt=32, k=2, S=2176, C=29, B=64
+    (mb=2) models 18.87 MB vs the compiler's reported 18.92 M; the
+    passing T=4352/L=1088 train probe at bt=32, k=1, S=2304, B=32 (mb=1)
+    models 10.98 MB backward / 10.13 MB forward.
     """
-    budget_words = 12 * (1 << 20) // 4
+    fwd = (
+        2 * (k * bt * C + k * bt * S)  # logp in + alpha-history out
+        + mb * (bt * C * S + 3 * bt * S + 2 * bt)  # one-hot, rows, scalars
+        + bt * S + k * bt * S  # alpha carry + emit-block scratch
+    )
+    bwd = (
+        2 * (k * bt * C + 2 * k * bt * S)  # logp + alpha in, post out
+        + mb * (bt * C * S + 2 * bt * S + 3 * bt)
+        + 2 * bt * S + 2 * k * bt * S  # beta/emit carries + 2 blocks
+    )
+    return fwd, bwd
+
+
+def _kernel_words(bt: int, k: int, S: int, C: int, mb: int) -> int:
+    return max(_kernel_words_fb(bt, k, S, C, mb))
+
+
+def _pick_tiles(S_pad: int, C_pad: int, B: int) -> tuple[int, int] | None:
+    """(batch_tile, time_block) fitting the TPU's 16 MB scoped-vmem budget.
+
+    The default (32, 16) tiling overflows the scoped limit once S_pad
+    reaches 1280 (long-utterance buckets: T=2304 frames derives a
+    1153-state extended label) — found by the corpus-scale soak, where
+    XLA aborted compilation with a kernel-vmem-stack OOM. The choice is
+    batch-aware because Mosaic double-buffers the big [Bt, C, S] one-hot
+    only when the batch grid revisits it (B > bt): the same S_pad that
+    fits at B=32 can OOM at B=64 (the soak's eval crash). Budget 15 MB
+    against the 16 MB limit (the model is within 0.3% of the compiler's
+    reported figure; the margin covers Mosaic's own stack). Shrink time
+    first (cheap: more grid steps), then batch. Returns None when even
+    (8, 1) does not fit — the caller falls back to the XLA scan CTC.
+    """
+    budget_words = 15 * (1 << 20) // 4
     for bt in (32, 16, 8):
-        one_hot = bt * C_pad * S_pad
-        rows = 6 * bt * S_pad  # alpha/beta/emit carries + init/final/allow
+        mb = 2 if B > bt else 1
         for k in (16, 8, 4, 2, 1):
-            blocks = 4 * k * bt * S_pad + k * bt * C_pad
-            if blocks + one_hot + rows <= budget_words:
+            if _kernel_words(bt, k, S_pad, C_pad, mb) <= budget_words:
                 return bt, k
     return None
 
@@ -293,13 +332,13 @@ def _scalar_spec(batch_tile):
     )
 
 
-def _tiles_for(labels_width: int, C: int) -> tuple[int, int] | None:
+def _tiles_for(labels_width: int, C: int, B: int) -> tuple[int, int] | None:
     S_pad = _round_up(2 * labels_width + 1, LANES)
-    return _pick_tiles(S_pad, C)
+    return _pick_tiles(S_pad, C, B)
 
 
 def _forward(logits, logit_lengths, labels, label_lengths):
-    tiles = _tiles_for(labels.shape[1], logits.shape[2])
+    tiles = _tiles_for(labels.shape[1], logits.shape[2], logits.shape[0])
     if tiles is None:
         raise ValueError(
             f"label width {labels.shape[1]} exceeds every VMEM tiling; "
@@ -409,7 +448,7 @@ def _bwd_rule(res, g):
     logp_total = -loss_pad  # [B_pad, 1]
 
     # same deterministic tile choice the forward made for this shape
-    batch_tile, k_time = _tiles_for(labels.shape[1], C)
+    batch_tile, k_time = _tiles_for(labels.shape[1], C, B)
     n_blocks = T_pad // k_time
     grid = (B_pad // batch_tile, n_blocks)
     rev_block = lambda b, t: (n_blocks - 1 - t, b, 0)  # noqa: E731
@@ -481,7 +520,7 @@ def ctc_loss(logits, logit_lengths, labels, label_lengths):
     for label widths so extreme (> ~5k states) that no tiling fits the
     scoped-vmem budget (`_pick_tiles` returns None)."""
     if jax.default_backend() in ("tpu", "axon") and _tiles_for(
-        labels.shape[1], logits.shape[2]
+        labels.shape[1], logits.shape[2], logits.shape[0]
     ):
         return ctc_loss_pallas(
             logits,

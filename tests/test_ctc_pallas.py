@@ -114,28 +114,55 @@ def test_dispatcher_uses_xla_on_cpu():
 class TestAdaptiveTiling:
     """Long-utterance buckets derive wide extended labels; the fixed
     (32, 16) tiling blew the TPU's 16 MB scoped-vmem budget at S_pad=1280
-    (T=2304-frame bucket — found by the corpus-scale soak). Tiles now
-    shrink per shape, and the dispatcher falls back to XLA when nothing
-    fits."""
+    (T=2304-frame bucket) and the first batch-unaware adaptive tiling
+    blew it again at S_pad=2176 once B=64 made Mosaic double-buffer the
+    [Bt, C, S] one-hot (both found by the corpus-scale soak on the real
+    chip). Tiles now shrink per (shape, batch), and the dispatcher falls
+    back to XLA when nothing fits."""
 
     def test_pick_tiles_respects_budget(self):
-        budget_words = 12 * (1 << 20) // 4
+        budget_words = 15 * (1 << 20) // 4
         C = vocabulary.NUM_CLASSES
-        for S_pad in (128, 256, 1280, 2304, 4096, 8192):
-            tiles = ctc_pallas._pick_tiles(S_pad, C)
-            assert tiles is not None, S_pad
-            bt, k = tiles
-            use = (
-                4 * k * bt * S_pad + k * bt * C + bt * C * S_pad
-                + 6 * bt * S_pad
-            )
-            assert use <= budget_words, (S_pad, tiles)
+        for B in (1, 8, 32, 64, 256):
+            for S_pad in (128, 256, 1280, 2176, 2304, 4096, 8192):
+                tiles = ctc_pallas._pick_tiles(S_pad, C, B)
+                if tiles is None:
+                    # extreme widths legitimately fall back to XLA, but
+                    # every width a 30 s utterance can derive must fit
+                    # (T=4352 -> L=1088 -> S_pad=2304)
+                    assert S_pad > 2304, (S_pad, B)
+                    continue
+                bt, k = tiles
+                mb = 2 if B > bt else 1
+                use = ctc_pallas._kernel_words(bt, k, S_pad, C, mb)
+                assert use <= budget_words, (S_pad, B, tiles)
         # standard shapes keep the fast tiling
-        assert ctc_pallas._pick_tiles(128, C) == (32, 16)
-        # the soak's crash shape must NOT get the default tiling
-        assert ctc_pallas._pick_tiles(1280, C) != (32, 16)
+        assert ctc_pallas._pick_tiles(128, C, 64) == (32, 16)
+        # the soak's train crash shape must NOT get the default tiling
+        assert ctc_pallas._pick_tiles(1280, C, 64) != (32, 16)
         # beyond any tiling -> None (dispatcher falls back to XLA)
-        assert ctc_pallas._pick_tiles(1 << 20, C) is None
+        assert ctc_pallas._pick_tiles(1 << 20, C, 64) is None
+
+    def test_kernel_words_matches_hardware_observations(self):
+        # two calibration points from the real v5e (16 MB scoped limit):
+        # the soak's eval_step compile failure reported an 18.92 MB
+        # scoped allocation for the forward kernel at bt=32, k=2,
+        # S_pad=2176, B=64 (batch grid = 2 -> mb=2) ...
+        limit_words = 16 * (1 << 20) // 4
+        C = vocabulary.NUM_CLASSES
+        fwd, _ = ctc_pallas._kernel_words_fb(32, 2, 2176, C, mb=2)
+        assert fwd > limit_words  # modeled 18.87 MB: correctly rejected
+        assert abs(fwd * 4 / (1 << 20) - 18.92) < 0.2
+        # ... while the T=4352/L=1088 train probe at B=32 (batch grid =
+        # 1 -> mb=1) compiled and ran forward+backward: the model must
+        # admit it
+        ok = ctc_pallas._kernel_words(32, 1, 2304, C, mb=1)
+        assert ok <= limit_words  # modeled 10.98 MB
+        # and the picker must no longer choose the shape that OOMed
+        bt, k = ctc_pallas._pick_tiles(2176, C, 64)
+        assert (bt, k) != (32, 2)
+        mb = 2 if 64 > bt else 1
+        assert ctc_pallas._kernel_words(bt, k, 2176, C, mb) <= limit_words
 
     def test_wide_label_shape_matches_xla(self):
         # S = 2*576+1 = 1153 -> S_pad 1280: the exact state width that
