@@ -30,8 +30,19 @@ class CheckpointManager:
             ),
         )
 
-    def save(self, state: TrainState, wait: bool = False):
-        step = int(state.step)
+    def save(
+        self, state: TrainState, wait: bool = False, step: int | None = None
+    ):
+        """Persist ``state`` under label ``step``.
+
+        ``step`` defaults to ``state.step`` (optimizer applies). The
+        training loop passes its micro-batch counter instead so that
+        checkpoint labels, the printed ``global step`` lines, and
+        ``--max-steps`` all share one unit even under ``--grad-accum``
+        (where ``state.step`` advances once per G micro-batches).
+        """
+        if step is None:
+            step = int(state.step)
         if self._mgr.latest_step() == step:
             return  # already persisted at this step
         self._mgr.save(

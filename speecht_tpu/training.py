@@ -106,7 +106,14 @@ class Training(DatasetExecutor):
             ),
         )
         if restored:
-            print(f"Restored model at step {int(state.step)}")
+            # report in the run-visible unit (micro-batches): state.step
+            # counts optimizer applies, which lag by the accumulation
+            # factor under --grad-accum (any partial accumulation at save
+            # time was discarded, so applies * G is exact)
+            print(
+                "Restored model at step "
+                f"{int(state.step) * self.grad_accum}"
+            )
 
         sp_loss_fn = None
         if self.seq_parallel > 1:
@@ -218,7 +225,11 @@ class Training(DatasetExecutor):
         finally:
             for sig, handler in prev_handlers:
                 signal.signal(sig, handler)
-            ckpt.save(self._latest_state, wait=True)
+            ckpt.save(
+                self._latest_state,
+                wait=True,
+                step=getattr(self, "_latest_global_step", None),
+            )
             ckpt.close()
             writer.close()
         print("Done training -- step limit reached")
@@ -234,8 +245,13 @@ class Training(DatasetExecutor):
         verbose = bool(getattr(flags, "verbose_summaries", False))
         # the global step is tracked host-side so the hot loop never reads
         # state.step back from the device (the device copy stays
-        # authoritative for checkpointing)
-        global_step = int(state.step)
+        # authoritative for the optimizer-apply count). The loop counter
+        # is in micro-batch units — the unit --max-steps, the printed
+        # "global step" lines, and checkpoint labels share — so a resume
+        # scales the restored apply count by the accumulation factor
+        # (exact: a partial accumulation is never persisted)
+        global_step = int(state.step) * self.grad_accum
+        self._latest_global_step = global_step
         # --profile-steps is RUN-relative (like --max-steps): a restored
         # run profiles steps counted from this launch, not from the
         # absolute global step, so "5:10" fires no matter where the
@@ -299,6 +315,7 @@ class Training(DatasetExecutor):
                     state, gacc, acc = train_step(state, gacc, acc, batch)
                 self._latest_state = state
                 global_step += 1
+                self._latest_global_step = global_step
 
                 if getattr(self, "_stop_requested", False):
                     # deferred SIGINT/SIGTERM: exit at a step boundary so
@@ -404,7 +421,7 @@ class Training(DatasetExecutor):
                         )
                     previous_losses.append(avg_loss)
 
-                    ckpt.save(state)
+                    ckpt.save(state, step=global_step)
                     print("Model saved", flush=True)
                     window_start = time.time()
 

@@ -840,3 +840,44 @@ def test_train_grad_accum(workdir, capsys):
     assert "effective batch 2" in out
     assert int(state.step) == 2  # optimizer applies, not micro-batches
     assert "global step 4" in out  # loop counts micro-batches
+
+
+def test_train_grad_accum_resume_step_units(workdir, capsys):
+    """Resuming a --grad-accum run continues the micro-batch counter.
+
+    state.step counts optimizer applies (half the micro-batches at G=2);
+    checkpoint labels and the printed "global step" lines are in
+    micro-batch units — the unit --max-steps uses — so a restart must
+    scale the restored apply count back up instead of silently halving
+    the visible step counter (the round-4 soak hit exactly this)."""
+    from speecht_tpu.train.checkpoint import CheckpointManager
+
+    run_cli(
+        workdir,
+        "train",
+        "--max-steps", "4",
+        "--steps-per-checkpoint", "2",
+        "--grad-accum", "2",
+        "--run-name", "e2e_ga_resume",
+    )
+    capsys.readouterr()
+    ckpt_dir = str(workdir / "train" / "e2e_ga_resume")
+    mgr = CheckpointManager(ckpt_dir)
+    assert mgr.latest_step() == 4  # micro-batch label, not 2 applies
+    mgr.close()
+
+    state = run_cli(
+        workdir,
+        "train",
+        "--max-steps", "2",
+        "--steps-per-checkpoint", "2",
+        "--grad-accum", "2",
+        "--run-name", "e2e_ga_resume",
+    )
+    out = capsys.readouterr().out
+    assert "Restored model at step 4" in out
+    assert "global step 6" in out  # 4 resumed + 2 micro-batches this run
+    assert int(state.step) == 3  # 3 optimizer applies total
+    mgr = CheckpointManager(ckpt_dir)
+    assert mgr.latest_step() == 6
+    mgr.close()

@@ -210,7 +210,9 @@ def test_train_loop_applies_plateau_decay(tmp_path):
         learning_rate=jnp.float32(1.0),
     )
     saves = []
-    ckpt = SimpleNamespace(save=lambda s, wait=False: saves.append(s))
+    ckpt = SimpleNamespace(
+        save=lambda s, wait=False, step=None: saves.append(s)
+    )
     writer = SummaryWriter(str(tmp_path))
     out = t._train_loop(state, stub_step, writer, ckpt, None)
     writer.close()
