@@ -317,6 +317,10 @@ class PrefetchLoader:
         self.stall_count = 0
         self.stall_seconds = 0.0
         self.batches_yielded = 0
+        # the wait for the very first batch after a worker (re)start is
+        # unavoidable warmup (the producer thread has not had a chance to
+        # run yet), not the pipeline falling behind — exclude it
+        self._warmup_pending = True
 
     def _worker(self, out_queue: queue.Queue, stop_event: threading.Event):
         # the queue/event are captured per worker run: a restarted loader
@@ -351,6 +355,7 @@ class PrefetchLoader:
         # capture the active mesh: the worker thread has its own
         # thread-local mesh context
         self._mesh = pmesh.get_mesh()
+        self._warmup_pending = True
         self._thread = threading.Thread(
             target=self._worker,
             args=(self._queue, self._stop),
@@ -387,10 +392,16 @@ class PrefetchLoader:
                 t0 = time.perf_counter()
                 item = self._queue.get()
                 waited = time.perf_counter() - t0
-                # ignore sub-ms wakeups; count real producer-behind waits
-                if waited > 0.002 and item is not self._SENTINEL:
+                # ignore sub-ms wakeups and the first-batch warmup wait;
+                # count real producer-behind waits
+                if (
+                    waited > 0.002
+                    and item is not self._SENTINEL
+                    and not self._warmup_pending
+                ):
                     self.stall_count += 1
                     self.stall_seconds += waited
+            self._warmup_pending = False
             if item is self._SENTINEL:
                 self._finished = True
                 if self._error is not None:

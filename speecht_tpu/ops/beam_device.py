@@ -616,6 +616,42 @@ class DeviceLM:
         self.__dict__.update(other.__dict__)
 
 
+def _pack_tables(
+    order: int,
+    key_scheme: str,
+    word_ids: dict,
+    unk_id: int,
+    unk_floor: float,
+    uni,
+    k1s,
+    k2s,
+    probs,
+    backs,
+    vocab_path: str | None,
+) -> tuple[dict, dict]:
+    """Shared packing tail for both LM builders: arena + word tables +
+    the meta dict. _META_KEYS and the npz cache loader mirror the meta
+    layout produced here — change them together."""
+    ak, av, a2c = _assemble_arena(k1s, k2s, probs, backs)
+    trie_words = _trie_words_from(vocab_path, word_ids)
+    wk, wv, w2c = _build_word_tables(word_ids, trie_words, unk_id)
+    meta = {
+        "order": order,
+        # host semantics: context capped at <s> + 4 completed words
+        "hist_len": min(order - 1, 5),
+        "key_scheme": key_scheme,
+        "unk_id": unk_id,
+        "bos_id": word_ids.get("<s>", -1),
+        "unk_floor": unk_floor,
+        "arena_two_choice": a2c,
+        "words_two_choice": w2c,
+    }
+    return meta, {
+        "uni": uni, "arena_k": ak, "arena_v": av,
+        "words_k": wk, "words_v": wv,
+    }
+
+
 def _build_np_from_binary(
     binary_path: str, vocab_path: str | None
 ) -> tuple[dict, dict]:
@@ -649,25 +685,10 @@ def _build_np_from_binary(
         k2s.append(hi)
         probs.append(prob)
         backs.append(back)
-    ak, av, a2c = _assemble_arena(k1s, k2s, probs, backs)
-
-    trie_words = _trie_words_from(vocab_path, word_ids)
-    wk, wv, w2c = _build_word_tables(word_ids, trie_words, unk_id)
-    meta = {
-        "order": order,
-        # host semantics: context capped at <s> + 4 completed words
-        "hist_len": min(order - 1, 5),
-        "key_scheme": "kenlm",
-        "unk_id": unk_id,
-        "bos_id": word_ids.get("<s>", -1),
-        "unk_floor": unk_floor,
-        "arena_two_choice": a2c,
-        "words_two_choice": w2c,
-    }
-    return meta, {
-        "uni": uni, "arena_k": ak, "arena_v": av,
-        "words_k": wk, "words_v": wv,
-    }
+    return _pack_tables(
+        order, "kenlm", word_ids, unk_id, unk_floor, uni,
+        k1s, k2s, probs, backs, vocab_path,
+    )
 
 
 def _build_np_from_arpa(
@@ -715,25 +736,10 @@ def _build_np_from_arpa(
         k2s.append(k2)
         probs.append(prob)
         backs.append(back)
-    ak, av, a2c = _assemble_arena(k1s, k2s, probs, backs)
-
-    trie_words = _trie_words_from(vocab_path, word_ids)
-    wk, wv, w2c = _build_word_tables(word_ids, trie_words, unk_id)
-    meta = {
-        "order": order,
-        # host semantics: context capped at <s> + 4 completed words
-        "hist_len": min(order - 1, 5),
-        "key_scheme": "fnv",
-        "unk_id": unk_id,
-        "bos_id": word_ids.get("<s>", -1),
-        "unk_floor": unk_floor,
-        "arena_two_choice": a2c,
-        "words_two_choice": w2c,
-    }
-    return meta, {
-        "uni": uni, "arena_k": ak, "arena_v": av,
-        "words_k": wk, "words_v": wv,
-    }
+    return _pack_tables(
+        order, "fnv", word_ids, unk_id, unk_floor, uni,
+        k1s, k2s, probs, backs, vocab_path,
+    )
 
 
 # bump when the packed-table layout or key hashing changes: stale cache
@@ -767,6 +773,41 @@ def _lm_cache_key(model_path: str, vocab_path: str | None) -> str:
     return h.hexdigest()[:24]
 
 
+def _evict_lm_cache(cache_dir: str, keep_path: str, max_bytes: int):
+    """Drop least-recently-used cache entries until the directory fits
+    ``max_bytes``. A 10M-n-gram LM packs to ~0.5 GB, and LM iteration
+    workflows (parameter search, probes) regenerate LM files whose
+    content — and therefore cache key — changes each time; without a cap
+    the cache accretes stale half-GB entries until the disk fills."""
+    import os
+
+    entries = []
+    try:
+        names = os.listdir(cache_dir)
+    except OSError:
+        return
+    for name in names:
+        if not (name.startswith("lm-") and name.endswith(".npz")):
+            continue
+        p = os.path.join(cache_dir, name)
+        try:
+            st = os.stat(p)
+        except OSError:
+            continue
+        entries.append((st.st_mtime, st.st_size, p))
+    total = sum(size for _, size, _ in entries)
+    for _, size, p in sorted(entries):  # oldest mtime first
+        if total <= max_bytes:
+            return
+        if p == keep_path:
+            continue
+        try:
+            os.remove(p)
+            total -= size
+        except OSError:
+            pass  # concurrent eviction / permission: best-effort
+
+
 def _cached_np_tables(
     model_path: str, vocab_path: str | None, cache_dir: str | None
 ) -> tuple[dict, dict]:
@@ -786,6 +827,10 @@ def _cached_np_tables(
                 k: z[k]
                 for k in ("uni", "arena_k", "arena_v", "words_k", "words_v")
             }
+        try:
+            os.utime(path)  # mark recently used for LRU eviction
+        except OSError:
+            pass
         return meta, np_tables
 
     from speecht_tpu import native
@@ -802,6 +847,15 @@ def _cached_np_tables(
     np.savez(tmp, **payload)
     # atomic publish: a concurrent process never sees a torn npz
     os.replace(tmp, path)
+    _evict_lm_cache(
+        cache_dir,
+        keep_path=path,
+        max_bytes=int(
+            os.environ.get(
+                "SPEECHT_DEVICE_LM_CACHE_MAX_BYTES", 4 << 30
+            )
+        ),
+    )
     return meta, np_tables
 
 

@@ -106,14 +106,15 @@ class Training(DatasetExecutor):
             ),
         )
         if restored:
-            # report in the run-visible unit (micro-batches): state.step
-            # counts optimizer applies, which lag by the accumulation
-            # factor under --grad-accum (any partial accumulation at save
-            # time was discarded, so applies * G is exact)
-            print(
-                "Restored model at step "
-                f"{int(state.step) * self.grad_accum}"
-            )
+            # report in the run-visible unit (micro-batches): the
+            # checkpoint label is authoritative — it was written by the
+            # loop counter in that unit. Deriving it as applies * G is
+            # only exact when this run's --grad-accum matches the run
+            # that wrote the checkpoint, so prefer the label.
+            label = ckpt.latest_step()
+            if label is None:
+                label = int(state.step) * self.grad_accum
+            print(f"Restored model at step {label}")
 
         sp_loss_fn = None
         if self.seq_parallel > 1:
@@ -248,9 +249,13 @@ class Training(DatasetExecutor):
         # authoritative for the optimizer-apply count). The loop counter
         # is in micro-batch units — the unit --max-steps, the printed
         # "global step" lines, and checkpoint labels share — so a resume
-        # scales the restored apply count by the accumulation factor
-        # (exact: a partial accumulation is never persisted)
-        global_step = int(state.step) * self.grad_accum
+        # continues from the restored checkpoint's label (written in that
+        # unit). Deriving it as applies * grad_accum would silently
+        # mis-scale when this run's --grad-accum differs from the run
+        # that wrote the checkpoint; the label is authoritative.
+        global_step = ckpt.latest_step()
+        if global_step is None:  # fresh run: no checkpoint yet
+            global_step = int(state.step) * self.grad_accum
         self._latest_global_step = global_step
         # --profile-steps is RUN-relative (like --max-steps): a restored
         # run profiles steps counted from this launch, not from the

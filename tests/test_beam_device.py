@@ -951,3 +951,38 @@ class TestDeviceLMCache:
             beam_device.DeviceLM.cached(
                 arpa, vocab, hbm_budget_bytes=16, cache_dir=cache
             )
+
+    def test_cache_evicts_lru_beyond_byte_budget(
+        self, lm_dir, tmp_path, monkeypatch
+    ):
+        """The disk cache is bounded: publishing a new entry sweeps
+        least-recently-used ones past SPEECHT_DEVICE_LM_CACHE_MAX_BYTES
+        (a 10M-n-gram LM packs to ~0.5 GB; LM-iteration workflows would
+        otherwise accrete stale entries until the disk fills)."""
+        cache = str(tmp_path / "lmcache")
+        arpa, vocab = self._paths(lm_dir)
+        monkeypatch.setenv("SPEECHT_DEVICE_LM_CACHE_MAX_BYTES", "1")
+
+        beam_device.DeviceLM.cached(arpa, vocab, cache_dir=cache)
+        first = os.listdir(cache)
+        assert len(first) == 1  # never evicts the entry just written
+
+        with open(arpa) as f:
+            text = f.read()
+        changed = str(tmp_path / "model.arpa")
+        with open(changed, "w") as f:
+            f.write(text.replace("-0.9", "-0.6", 1))
+        # age the first entry so mtime ordering is unambiguous on
+        # coarse-resolution filesystems
+        old = os.path.join(cache, first[0])
+        os.utime(old, (1.0, 1.0))
+        beam_device.DeviceLM.cached(changed, vocab, cache_dir=cache)
+        remaining = os.listdir(cache)
+        assert len(remaining) == 1
+        assert remaining[0] != first[0]  # the stale entry was evicted
+
+        # a cache hit refreshes mtime (marks the entry recently used)
+        kept = os.path.join(cache, remaining[0])
+        os.utime(kept, (1.0, 1.0))
+        beam_device.DeviceLM.cached(changed, vocab, cache_dir=cache)
+        assert os.stat(kept).st_mtime > 1.0

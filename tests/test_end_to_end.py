@@ -881,3 +881,42 @@ def test_train_grad_accum_resume_step_units(workdir, capsys):
     mgr = CheckpointManager(ckpt_dir)
     assert mgr.latest_step() == 6
     mgr.close()
+
+
+def test_train_resume_with_different_grad_accum(workdir, capsys):
+    """The step counter survives a --grad-accum change across a resume.
+
+    The checkpoint label (micro-batch units) is authoritative; deriving
+    the resumed counter as state.step * G would read 6 applies * 4 = 24
+    here instead of 6 — phantom progress in the unit --max-steps, the
+    printed lines, and subsequent labels share."""
+    from speecht_tpu.train.checkpoint import CheckpointManager
+
+    run_cli(
+        workdir,
+        "train",
+        "--max-steps", "6",
+        "--steps-per-checkpoint", "3",
+        "--run-name", "e2e_ga_switch",  # no accumulation: label == applies
+    )
+    capsys.readouterr()
+    ckpt_dir = str(workdir / "train" / "e2e_ga_switch")
+    mgr = CheckpointManager(ckpt_dir)
+    assert mgr.latest_step() == 6
+    mgr.close()
+
+    state = run_cli(
+        workdir,
+        "train",
+        "--max-steps", "4",
+        "--steps-per-checkpoint", "2",
+        "--grad-accum", "4",  # resumed with a DIFFERENT accumulation
+        "--run-name", "e2e_ga_switch",
+    )
+    out = capsys.readouterr().out
+    assert "Restored model at step 6" in out  # label, not 6 applies * 4
+    assert "global step 10" in out  # 6 resumed + 4 micro-batches this run
+    assert int(state.step) == 7  # 6 prior applies + 4/4 this run
+    mgr = CheckpointManager(ckpt_dir)
+    assert mgr.latest_step() == 10
+    mgr.close()

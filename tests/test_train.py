@@ -582,17 +582,39 @@ class TestPipeline:
         assert loader.stall_count >= 1
         assert loader.stall_seconds > 0.0
 
-        # a fast producer with a slow consumer must NOT count stalls
+        # a fast producer with a slow consumer must NOT count stalls;
+        # start() the worker explicitly (iter() alone is lazy — the
+        # generator body only runs at the first next()) so the queue is
+        # genuinely pre-filled before consumption begins
         def fast_gen():
             for _ in range(6):
                 yield np.zeros((10, 8), np.float32), [1]
 
         loader = PrefetchLoader(fast_gen, batch_size=2, device_put=False)
-        it = iter(loader)
+        loader.start()
         _time.sleep(0.1)  # let the producer fill the queue
-        for _ in it:
+        for _ in loader:
             _time.sleep(0.01)
         assert loader.stall_count == 0
+
+    def test_prefetch_loader_first_batch_wait_is_warmup(self):
+        # the wait for the very first batch is unavoidable (the worker has
+        # not run yet) and must not be reported as a pipeline stall
+        import time as _time
+
+        from speecht_tpu.data.pipeline import PrefetchLoader
+
+        def warmup_gen():
+            _time.sleep(0.05)  # slow first batch only
+            for _ in range(6):
+                yield np.zeros((10, 8), np.float32), [1]
+
+        loader = PrefetchLoader(warmup_gen, batch_size=2, device_put=False)
+        for _ in loader:
+            _time.sleep(0.02)  # consumer slower than producer after warmup
+        assert loader.batches_yielded == 3
+        assert loader.stall_count == 0
+        assert loader.stall_seconds == 0.0
 
     def test_prefetch_loader_propagates_errors(self):
         from speecht_tpu.data.pipeline import PrefetchLoader

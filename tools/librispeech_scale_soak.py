@@ -29,7 +29,9 @@ that reality at reduced wall-clock.
 
 Usage:
   python tools/librispeech_scale_soak.py [--n-train 20000] [--hours 3]
-      [--segment-steps 1000] [--batch-size 64] [--out DIR] [--resume DIR]
+      [--segment-steps 1000] [--batch-size 64] [--out DIR]
+  # resume after a crash: same --out DIR plus --skip-gen (training
+  # restores from the checkpoint dir inside --out automatically)
 """
 
 import argparse
