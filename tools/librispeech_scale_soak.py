@@ -36,7 +36,6 @@ Usage:
 
 import argparse
 import contextlib
-import io
 import json
 import os
 import re
@@ -166,23 +165,56 @@ _STEP_RE = re.compile(
 _STALL_RE = re.compile(r"prefetch stalled (\d+) times \(([\d.]+)s\)")
 
 
-def run_cli_capture(argv) -> tuple[object, str]:
-    from speecht_tpu.cli import CLI
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-    buf = io.StringIO()
+_GLOBAL_STATS_RE = re.compile(
+    r"LED: ([\d.]+) LER: ([\d.]+) WED: ([\d.]+) WER: ([\d.]+)"
+)
 
-    class Tee(io.TextIOBase):
-        def write(self, s):
-            buf.write(s)
-            sys.__stdout__.write(s)
-            return len(s)
 
-        def flush(self):
-            sys.__stdout__.flush()
+def run_cli_subprocess(argv) -> str:
+    """Run one CLI command in a fresh OS process; tee + return stdout.
 
-    with contextlib.redirect_stdout(Tee()):
-        result = CLI(argv).run()
-    return result, buf.getvalue()
+    One process per segment is not just crash isolation: this
+    environment's axon tunnel client retains an internal copy of every
+    host->device payload for the life of the process (measured ~16 MB
+    leaked per 16.8 MB device_put — see CLAUDE.md), so a multi-hour
+    single-process train grows past 100 GB RSS and is OOM-killed (the
+    first round-4 soak died exactly this way at ~130 GB after ~7,600
+    micro-steps). Per-segment processes bound the growth to one
+    segment's transfers and exercise the very restart path the
+    checkpoint manager is designed for. Subprocess starts are cheap:
+    the CLI enables the on-disk compilation cache.
+    """
+    import subprocess
+
+    cmd = [
+        sys.executable,
+        "-c",
+        f"import sys; sys.path.insert(0, {_REPO!r}); "
+        "from speecht_tpu.cli import main; main(sys.argv[1:])",
+    ] + list(argv)
+    lines = []
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True)
+    for line in proc.stdout:
+        sys.stdout.write(line)
+        sys.stdout.flush()
+        lines.append(line)
+    rc = proc.wait()
+    out = "".join(lines)
+    if rc != 0:
+        raise RuntimeError(f"CLI {argv[0]!r} exited with {rc}")
+    return out
+
+
+def parse_global_stats(out: str) -> tuple[float, float]:
+    """(LER, WER) from evaluate stdout — the LAST stats line is the
+    'Global statistics' block's."""
+    m = _GLOBAL_STATS_RE.findall(out)
+    if not m:
+        raise RuntimeError("no LED/LER/WED/WER line in evaluate output")
+    _led, ler, _wed, wer = m[-1]
+    return float(ler), float(wer)
 
 
 def main():
@@ -257,7 +289,7 @@ def main():
         print(f"\n=== segment {segment}: train to step {total_steps} ===",
               flush=True)
         t0 = time.time()
-        _state, out = run_cli_capture(
+        out = run_cli_subprocess(
             [
                 "train",
                 "--max-steps", str(args.segment_steps),
@@ -297,15 +329,16 @@ def main():
         )
 
         t0 = time.time()
-        stats, _ = run_cli_capture(
+        out = run_cli_subprocess(
             ["evaluate", "--dev", "--no-save", "--step-count", "2"]
             + common
         )
+        ler, wer = parse_global_stats(out)
         dev = {
             "segment": segment,
             "step": total_steps,
-            "ler": round(stats.global_letter_error_rate, 4),
-            "wer": round(stats.global_word_error_rate, 4),
+            "ler": round(ler, 4),
+            "wer": round(wer, 4),
             "wall_s": round(time.time() - t0, 1),
         }
         print(f"dev greedy: {json.dumps(dev)}", flush=True)
@@ -313,7 +346,7 @@ def main():
 
         if segment % 3 == 0:
             t0 = time.time()
-            stats, _ = run_cli_capture(
+            out = run_cli_subprocess(
                 [
                     "evaluate", "--dev", "--no-save", "--step-count", "2",
                     "--language-model", lm_dir,
@@ -322,24 +355,26 @@ def main():
                 ]
                 + common
             )
+            ler, wer = parse_global_stats(out)
             beam = {
                 "segment": segment,
                 "step": total_steps,
-                "ler": round(stats.global_letter_error_rate, 4),
-                "wer": round(stats.global_word_error_rate, 4),
+                "ler": round(ler, 4),
+                "wer": round(wer, 4),
                 "wall_s": round(time.time() - t0, 1),
             }
             print(f"dev device-beam+LM: {json.dumps(beam)}", flush=True)
             log("dev_beam_lm", beam)
 
     # final held-out test evaluate, greedy + device beam
-    stats, _ = run_cli_capture(
+    out = run_cli_subprocess(
         ["evaluate", "--test", "--no-save"] + common
     )
+    ler, wer = parse_global_stats(out)
     final = {
         "steps": total_steps,
-        "test_ler": round(stats.global_letter_error_rate, 4),
-        "test_wer": round(stats.global_word_error_rate, 4),
+        "test_ler": round(ler, 4),
+        "test_wer": round(wer, 4),
     }
     log("final", final)
     with open(os.path.join(root, "soak_summary.json"), "w") as f:
