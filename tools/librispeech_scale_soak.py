@@ -190,6 +190,7 @@ def run_cli_subprocess(argv) -> str:
 
     cmd = [
         sys.executable,
+        "-u",  # unbuffered child stdout: the tee stays live through the pipe
         "-c",
         f"import sys; sys.path.insert(0, {_REPO!r}); "
         "from speecht_tpu.cli import main; main(sys.argv[1:])",
