@@ -211,7 +211,10 @@ def test_train_loop_applies_plateau_decay(tmp_path):
     )
     saves = []
     ckpt = SimpleNamespace(
-        save=lambda s, wait=False, step=None: saves.append(s)
+        save=lambda s, wait=False, step=None: saves.append(s),
+        # _train_loop reads the resume label from the manager (the label
+        # is authoritative for the global-step unit); fresh run -> None
+        latest_step=lambda: None,
     )
     writer = SummaryWriter(str(tmp_path))
     out = t._train_loop(state, stub_step, writer, ckpt, None)
