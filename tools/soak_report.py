@@ -22,21 +22,39 @@ import os
 
 
 def load(path):
+    """Parse the JSONL log, tolerating a live run: a trailing line that is
+    still being written (or was truncated by a crash) is skipped with a
+    note instead of killing the report."""
+    if not os.path.exists(path):
+        raise SystemExit(
+            f"no soak log at {path} yet -- start "
+            "tools/librispeech_scale_soak.py first (or pass --out)"
+        )
     recs = []
     with open(path) as f:
-        for line in f:
+        for n, line in enumerate(f, 1):
             line = line.strip()
-            if line:
+            if not line:
+                continue
+            try:
                 recs.append(json.loads(line))
+            except json.JSONDecodeError:
+                print(f"  (skipping unparseable line {n} -- "
+                      "partial write from a live or crashed run)")
     return recs
 
 
 def pct(xs, q):
+    """Linearly interpolated quantile (numpy.percentile semantics) — the
+    intervals per segment are coarse (~10 samples), where nearest-rank
+    'p95' degenerates to the max and overstates the tail."""
     xs = sorted(xs)
     if not xs:
         return float("nan")
-    i = min(len(xs) - 1, max(0, int(round(q * (len(xs) - 1)))))
-    return xs[i]
+    pos = q * (len(xs) - 1)
+    lo = int(pos)
+    hi = min(lo + 1, len(xs) - 1)
+    return xs[lo] + (xs[hi] - xs[lo]) * (pos - lo)
 
 
 def main():
@@ -71,7 +89,7 @@ def main():
     if segs:
         print()
         print(
-            "| seg | steps | wall | step-time p50/p95 (s) | loss@end | lr | "
+            "| seg | to step | wall | step-time p50/p95 (s) | loss@end | lr | "
             "stalls (n / s) | ckpt MB |"
         )
         print("|---|---|---|---|---|---|---|---|")
