@@ -95,13 +95,44 @@ def _self_jiffies() -> float:
     return (t.user + t.system + t.children_user + t.children_system) * hz
 
 
+def _proc_table() -> dict:
+    """pid -> (ppid, utime+stime jiffies) for every live process."""
+    table = {}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                # fields after the parenthesized comm (which may contain
+                # spaces): [0]=state [1]=ppid ... [11]=utime [12]=stime
+                parts = f.read().rsplit(")", 1)[1].split()
+            table[int(pid)] = (int(parts[1]), int(parts[11]) + int(parts[12]))
+        except OSError:
+            pass  # raced a process exit
+    return table
+
+
 class HostLoadMonitor:
-    """Flags host-side CPU contention over a timed window.
+    """Attributes host-side CPU contention over a timed window.
 
     On this 1-core host a concurrently running process (e.g. the CPU test
-    suite) silently halves host-bound bench rows (VERDICT r3 weak #2).
-    ``host_other_cpu_frac`` = fraction of total host CPU the window spent
-    in processes OTHER than this one; > 0.15 marks the row contended.
+    suite) silently halves host-bound bench rows (VERDICT r3 weak #2), but
+    a bench run's OWN device-worker/tunnel activity also shows up outside
+    ``os.times()`` — live (unreaped) child processes and the kernel
+    workers that move tunnel traffic — so a total-minus-self stamp flags
+    normal operation (VERDICT r4 weak #2). Per-process /proc/*/stat deltas
+    split the window's CPU three ways:
+
+    - ``own``: this process + its live descendants (ppid chains walked on
+      the union of the entry/exit tables),
+    - ``kernel``: the kthreadd (pid 2) subtree — kworkers servicing our
+      own tunnel I/O dominate this on a quiet host,
+    - ``foreign``: every other process — the only bucket that marks the
+      row ``host_contended`` (> 0.15 of the window), and the signal the
+      retry loop in main() acts on.
+
+    ``host_other_cpu_frac`` (total minus os.times' view of self) is kept
+    for cross-round comparability with BENCH_r03/r04.
     """
 
     CONTENDED_FRAC = 0.15
@@ -110,22 +141,67 @@ class HostLoadMonitor:
         self._t0 = time.perf_counter()
         self._busy0 = _total_busy_jiffies()
         self._self0 = _self_jiffies()
+        self._table0 = _proc_table()
         return self
 
     def __exit__(self, *exc):
         wall = max(time.perf_counter() - self._t0, 1e-6)
         hz = os.sysconf("SC_CLK_TCK")
+        table1 = _proc_table()
         other = (
             (_total_busy_jiffies() - self._busy0)
             - (_self_jiffies() - self._self0)
         ) / hz
         self.other_cpu_frac = max(0.0, other / wall)
-        self.contended = self.other_cpu_frac > self.CONTENDED_FRAC
+
+        # parent map over the union of both snapshots, so a process that
+        # exited mid-window still classifies by its recorded ppid
+        parents = {p: v[0] for p, v in self._table0.items()}
+        parents.update({p: v[0] for p, v in table1.items()})
+
+        me = os.getpid()
+
+        def classify(pid: int) -> str:
+            seen = set()
+            while pid not in seen and pid > 0:
+                if pid == me:
+                    return "own"
+                if pid == 2:  # kthreadd: kernel worker threads
+                    return "kernel"
+                seen.add(pid)
+                pid = parents.get(pid, 0)
+            return "foreign"
+
+        own = kernel = foreign = 0.0
+        for pid, (_ppid, t1) in table1.items():
+            d = t1 - self._table0.get(pid, (0, 0))[1]
+            if d <= 0:
+                continue
+            bucket = classify(pid)
+            if bucket == "own":
+                own += d
+            elif bucket == "kernel":
+                kernel += d
+            else:
+                foreign += d
+        # own-process jiffies double-count os.times' view; report only the
+        # descendants' share (self is excluded from other_cpu_frac already)
+        self.own_child_cpu_frac = max(
+            0.0, (own - (_self_jiffies() - self._self0)) / hz / wall
+        )
+        self.kernel_cpu_frac = kernel / hz / wall
+        self.foreign_cpu_frac = foreign / hz / wall
+        self.contended = self.foreign_cpu_frac > self.CONTENDED_FRAC
         return False
 
     def annotate(self, row: dict) -> dict:
         if isinstance(row, dict):
             row["host_other_cpu_frac"] = round(self.other_cpu_frac, 3)
+            row["host_foreign_cpu_frac"] = round(self.foreign_cpu_frac, 3)
+            row["host_own_child_cpu_frac"] = round(
+                self.own_child_cpu_frac, 3
+            )
+            row["host_kernel_cpu_frac"] = round(self.kernel_cpu_frac, 3)
             row["host_contended"] = self.contended
         return row
 
@@ -608,15 +684,31 @@ def main():
         ("streaming", lambda: bench_streaming(model, params)),
     ):
         # rows with host-side work get a contention annotation; the
-        # device-bound rows are immune to host load by construction
+        # device-bound rows are immune to host load by construction.
+        # A FOREIGN-contended attempt (another process stealing the one
+        # core) is re-run up to MAX_ATTEMPTS times and the quietest
+        # attempt wins — the committed artifact should stand alone
+        # rather than trail a separately documented quiet-host matrix
+        # (VERDICT r4 weak #2 / next #3).
         host_bound = name.startswith("beam_lm_eval") or name in (
             "preprocess_device", "streaming",
         )
+        MAX_ATTEMPTS = 3
         try:
             if host_bound:
-                with HostLoadMonitor() as mon:
-                    row = fn()
-                extra[name] = mon.annotate(row)
+                best_row, best_frac, attempts = None, None, 0
+                for _ in range(MAX_ATTEMPTS):
+                    attempts += 1
+                    with HostLoadMonitor() as mon:
+                        row = fn()
+                    mon.annotate(row)
+                    frac = mon.foreign_cpu_frac
+                    if best_frac is None or frac < best_frac:
+                        best_row, best_frac = row, frac
+                    if not mon.contended:
+                        break
+                best_row["host_attempts"] = attempts
+                extra[name] = best_row
             else:
                 extra[name] = fn()
         except Exception as e:  # a sub-bench must not kill the headline
