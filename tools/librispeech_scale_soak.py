@@ -73,16 +73,30 @@ def sample_sentence(rng, target_seconds: float) -> str:
 
 
 def make_corpus(root: str, n_train: int, n_dev: int, n_test: int,
-                seed: int = 0) -> dict:
-    """Write the feature cache directly; returns corpus statistics."""
+                seed: int = 0, hard_params=None) -> dict:
+    """Write the feature cache directly; returns corpus statistics.
+
+    ``hard_params`` (a hard_corpus.HardParams) switches synthesis to the
+    hard-mode generator: speaker pitch/rate jitter, additive noise, and
+    adjacent-char swap corruption over a confusable minimal-pair lexicon,
+    so the quality trajectory does NOT saturate to 0.000 (VERDICT r4
+    missing #1). Duration statistics stay LibriSpeech-like either way.
+    """
     from speecht_tpu import vocabulary
     from speecht_tpu.data import features as F
 
     rng = np.random.RandomState(seed)
     durations = []
     frames_all = []
+    lex = None
+    swapped = chars = 0
+    if hard_params is not None:
+        import hard_corpus
+
+        lex = hard_corpus.build_lexicon()
 
     def write_split(split, n, offset):
+        nonlocal swapped, chars
         out = os.path.join(root, "data", "preprocessed-power", split)
         os.makedirs(out, exist_ok=True)
         t0 = time.time()
@@ -90,8 +104,17 @@ def make_corpus(root: str, n_train: int, n_dev: int, n_test: int,
             # lognormal clipped to [1, 30] s, median ~6 s (LibriSpeech-like
             # long tail; test-clean mean ~7.4 s)
             dur = float(np.clip(rng.lognormal(np.log(6.0), 0.55), 1.0, 30.0))
-            sentence = sample_sentence(rng, dur)
-            audio = synth_utterance(sentence, rng)
+            if hard_params is not None:
+                import hard_corpus
+
+                sentence = hard_corpus.sample_sentence_hard(rng, lex, dur)
+                audio, n_sw = hard_corpus.synth_utterance_hard(
+                    sentence, rng, hard_params, return_truth=True)
+                swapped += n_sw
+                chars += sum(c != " " for c in sentence)
+            else:
+                sentence = sample_sentence(rng, dur)
+                audio = synth_utterance(sentence, rng)
             feats = F.calc_power_spectrogram(audio, SR)
             if split == "train":
                 durations.append(len(audio) / SR)
@@ -115,7 +138,7 @@ def make_corpus(root: str, n_train: int, n_dev: int, n_test: int,
     durations = np.asarray(durations)
     frames = np.asarray(frames_all)
     dur_hist, dur_edges = np.histogram(durations, bins=list(range(0, 32, 2)))
-    return {
+    stats = {
         "n_train": n_train,
         "duration_mean_s": round(float(durations.mean()), 2),
         "duration_p50_s": round(float(np.median(durations)), 2),
@@ -124,6 +147,13 @@ def make_corpus(root: str, n_train: int, n_dev: int, n_test: int,
         "frames_mean": int(frames.mean()),
         "frames_max": int(frames.max()),
     }
+    if hard_params is not None:
+        stats["hard"] = True
+        stats["swap_prob"] = hard_params.swap_prob
+        stats["realized_swap_frac"] = round(swapped / max(chars, 1), 4)
+        stats["lexicon_pairs"] = len(lex.pair_words)
+        stats["lexicon_loners"] = len(lex.loner_words)
+    return stats
 
 
 def bucket_occupancy(root: str, bucket_step: int) -> dict:
@@ -233,6 +263,20 @@ def main():
     ap.add_argument("--gen-only", action="store_true",
                     help="Generate the corpus and exit (so generation can "
                     "overlap other chip work before the train starts).")
+    ap.add_argument("--hard", action="store_true",
+                    help="Hard-mode corpus (tools/hard_corpus.py): speaker "
+                    "jitter + noise + adjacent-char swaps over a "
+                    "minimal-pair lexicon, so dev/test WER does not "
+                    "saturate to 0.000 and LM fusion has a measurable "
+                    "delta (VERDICT r4 missing #1).")
+    ap.add_argument("--swap-prob", type=float, default=0.05)
+    ap.add_argument("--snr-lo", type=float, default=6.0)
+    ap.add_argument("--snr-hi", type=float, default=18.0)
+    ap.add_argument("--lm-weight", type=float, default=None,
+                    help="Beam-eval LM weight (default: 0.4 plain, "
+                    "0.6 hard).")
+    ap.add_argument("--valid-word-count-weight", type=float, default=2.3,
+                    help="Beam-eval word-validity bonus (hard mode only).")
     args = ap.parse_args()
 
     root = args.out
@@ -244,10 +288,19 @@ def main():
         with open(log_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
 
+    hard_params = None
+    if args.hard:
+        import hard_corpus
+
+        hard_params = hard_corpus.HardParams(
+            swap_prob=args.swap_prob, snr_lo=args.snr_lo, snr_hi=args.snr_hi)
+
     if not args.skip_gen:
-        print(f"Generating {args.n_train}+256+256 utterances under {root}")
+        print(f"Generating {args.n_train}+256+256 utterances under {root}"
+              + (" (hard mode)" if args.hard else ""))
         t0 = time.time()
-        stats = make_corpus(root, args.n_train, 256, 256)
+        stats = make_corpus(root, args.n_train, 256, 256,
+                            hard_params=hard_params)
         stats["gen_wall_s"] = round(time.time() - t0, 1)
         cache_mb = dir_size_mb(
             os.path.join(root, "data", "preprocessed-power")
@@ -262,7 +315,16 @@ def main():
         print("corpus generated; exiting (--gen-only)")
         return
 
-    lm_dir = write_lm(root)
+    if args.hard:
+        import hard_corpus
+
+        lm_dir = hard_corpus.write_lm_hard(root, hard_corpus.build_lexicon())
+        beam_flags = ["--lm-weight", str(args.lm_weight or 0.6),
+                      "--valid-word-count-weight",
+                      str(args.valid_word_count_weight)]
+    else:
+        lm_dir = write_lm(root)
+        beam_flags = ["--lm-weight", str(args.lm_weight or 0.4)]
     common = [
         "--data-dir", os.path.join(root, "data"),
         "--train-dir", os.path.join(root, "train"),
@@ -351,9 +413,9 @@ def main():
                 [
                     "evaluate", "--dev", "--no-save", "--step-count", "2",
                     "--language-model", lm_dir,
-                    "--lm-weight", "0.4",
                     "--device-beam",
                 ]
+                + beam_flags
                 + common
             )
             ler, wer = parse_global_stats(out)
@@ -377,6 +439,17 @@ def main():
         "test_ler": round(ler, 4),
         "test_wer": round(wer, 4),
     }
+    if args.hard:
+        # the held-out LM-fusion delta: greedy vs device-beam+LM on the
+        # same test split (VERDICT r5 item #1's "quoted LM-fusion delta")
+        out = run_cli_subprocess(
+            ["evaluate", "--test", "--no-save",
+             "--language-model", lm_dir, "--device-beam"]
+            + beam_flags + common
+        )
+        ler, wer = parse_global_stats(out)
+        final["test_beam_lm_ler"] = round(ler, 4)
+        final["test_beam_lm_wer"] = round(wer, 4)
     log("final", final)
     with open(os.path.join(root, "soak_summary.json"), "w") as f:
         json.dump(final, f)
