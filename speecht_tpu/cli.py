@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 
 from speecht_tpu import config as cfg
 
@@ -154,6 +155,27 @@ class CLI:
         p = self.subparsers.add_parser(
             "train", help="Train the wav2letter weights.",
             parents=[self.base_parser],
+            formatter_class=argparse.RawDescriptionHelpFormatter,
+            epilog=(
+                "long runs in segments:\n"
+                "  train exits cleanly after --max-steps and a relaunch "
+                "with the same\n"
+                "  --train-dir/--run-name resumes from the latest "
+                "checkpoint, so a\n"
+                "  multi-hour train can (and on hosts whose TPU client "
+                "leaks host RAM\n"
+                "  per transfer, e.g. dev tunnels, SHOULD) run as an "
+                "outer loop of\n"
+                "  bounded processes:\n"
+                "    until converged; do speecht-cli train --max-steps "
+                "1000 ...; done\n"
+                "  Checkpoint labels, printed step lines, and --max-steps "
+                "share one\n"
+                "  unit, so each relaunch continues exactly where the "
+                "last exited.\n"
+                "  tools/librispeech_scale_soak.py automates this "
+                "pattern."
+            ),
         )
         p.add_argument("--learning-rate", dest="learning_rate", type=float, default=1e-4)
         p.add_argument(
@@ -177,7 +199,10 @@ class CLI:
         )
         p.add_argument(
             "--max-steps", dest="max_steps", type=int, default=None,
-            help="Stop after this many steps (default: run forever).",
+            help="Exit cleanly (checkpoint saved) after this many steps "
+            "counted from this launch; default: run forever. Relaunching "
+            "resumes from the checkpoint — see the epilog for the "
+            "bounded-process loop recommended on leaky dev-tunnel hosts.",
         )
         p.add_argument(
             "--spec-augment", dest="spec_augment", action="store_true",
@@ -458,7 +483,15 @@ class CLI:
 
 
 def main(argv=None):
-    CLI(argv).run()
+    try:
+        CLI(argv).run()
+    except (RuntimeError, FileNotFoundError) as e:
+        # user-actionable failures (missing/corrupt checkpoint, bad
+        # corpus/LM paths) print one clear line instead of a stack
+        # trace; unexpected exception types stay loud. Library callers
+        # use CLI(argv).run() directly and keep the raised exception.
+        print(f"error: {e}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

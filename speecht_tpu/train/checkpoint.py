@@ -69,9 +69,27 @@ class CheckpointManager:
             raise FileNotFoundError(
                 f"No checkpoint for evaluation found in {self.directory}"
             )
-        restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(jax.device_get(template))
-        )
+        try:
+            restored = self._mgr.restore(
+                step,
+                args=ocp.args.StandardRestore(jax.device_get(template)),
+            )
+        except FileNotFoundError:
+            raise
+        except Exception as e:
+            # A committed-but-unreadable checkpoint (torn disk, truncated
+            # array file, bit rot) must fail with an actionable message,
+            # not a bare orbax stack trace. A checkpoint that was being
+            # WRITTEN when the process died never reaches this path:
+            # orbax stages into <step>.orbax-checkpoint-tmp-* and renames
+            # on commit, so latest_step() never names a torn write.
+            raise RuntimeError(
+                f"Checkpoint at step {step} in {self.directory} failed to "
+                f"restore ({type(e).__name__}: {e}). The checkpoint files "
+                f"are likely corrupt or truncated; remove "
+                f"{os.path.join(self.directory, str(step))} to fall back "
+                f"to the previous checkpoint."
+            ) from e
         state = jax.tree_util.tree_map(jax.numpy.asarray, restored)
         if reset_learning_rate is not None:
             state = state.replace(

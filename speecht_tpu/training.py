@@ -222,15 +222,35 @@ class Training(DatasetExecutor):
             # recovery story is "rerun train, resume from latest checkpoint"
             # — SURVEY.md §5; an interrupt here loses nothing)
             print("\nInterrupted -- saving checkpoint before exit")
+            self._stop_requested = True
             state = self._latest_state
         finally:
             for sig, handler in prev_handlers:
                 signal.signal(sig, handler)
-            ckpt.save(
-                self._latest_state,
-                wait=True,
-                step=getattr(self, "_latest_global_step", None),
-            )
+            interrupted = getattr(self, "_stop_requested", False)
+            if interrupted and jax.process_count() > 1:
+                # one evicted worker cannot crash-save a distributed
+                # checkpoint alone: the orbax commit is a cross-process
+                # barrier, and the signal lands at a different step on
+                # each worker, so a solo save would deadlock against
+                # peers that are still training (or already gone).
+                # Recovery = relaunch the job; every periodic checkpoint
+                # in the loop was written cooperatively by all processes
+                # at the same step label, so the pair restores from the
+                # last complete one (drilled in
+                # tools/multiprocess_drill.py).
+                print(
+                    "distributed interrupt: skipping solo crash-save; "
+                    f"relaunch resumes from cooperative checkpoint step "
+                    f"{ckpt.latest_step()}",
+                    flush=True,
+                )
+            else:
+                ckpt.save(
+                    self._latest_state,
+                    wait=True,
+                    step=getattr(self, "_latest_global_step", None),
+                )
             ckpt.close()
             writer.close()
         print("Done training -- step limit reached")

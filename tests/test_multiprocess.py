@@ -31,7 +31,7 @@ def test_two_process_training_matches_single_process():
         [sys.executable, DRILL],
         capture_output=True,
         text=True,
-        timeout=900,
+        timeout=1500,
         env=env,
         cwd=REPO,
     )
@@ -42,5 +42,6 @@ def test_two_process_training_matches_single_process():
     assert "PASS dpxtp 2-process steps 1-3" in out
     assert "PASS mixed-bucket dp 2-process steps 1-3" in out
     assert "PASS grad-accum dp 2-process applies 1-3" in out
+    assert "PASS kill/resume steps" in out
     assert "PASS eval 2-process global stats" in out
     assert "PASS multiprocess drill" in out

@@ -25,6 +25,13 @@ What it asserts:
    steps 4-6 keep matching the single-process run.
 3. **dp x tp**: 3 steps on a (data=4, model=2) mesh spanning 2 processes
    match the same baseline.
+4. **worker SIGTERM + job relaunch**: one worker of a 2-process run is
+   evicted mid-train (the worker skips the solo crash-save — an orbax
+   commit is a cross-process barrier — and exits cleanly), the survivor
+   is torn down like a real scheduler would, and the relaunched pair
+   restores the last cooperatively-committed checkpoint and continues on
+   the uninterrupted run's loss curve (reference resume semantics,
+   speecht/training.py:37-42, under multi-process failure).
 
 Run: ``python tools/multiprocess_drill.py`` — prints PASS lines, exit 0.
 """
@@ -221,6 +228,106 @@ def run_two_process(worker: str, args: list[str], log_prefix: str) -> str:
     return logs[0]
 
 
+def run_kill_resume_phase(worker: str, root: str, kill_base: list[float],
+                          n_steps: int) -> bool:
+    """SIGTERM one worker of a 2-process run mid-train, tear the job
+    down, relaunch the pair, and assert it resumes from the last
+    cooperative checkpoint onto the uninterrupted baseline's loss curve.
+
+    Returns False when the SIGTERM raced past the end of the run (all
+    steps finished before the kill landed) — the caller retries.
+    """
+    import shutil
+    import time
+
+    # scrub any previous attempt's checkpoints
+    shutil.rmtree(os.path.join(root, "train", "killmp"), ignore_errors=True)
+
+    args = [
+        "train", "--max-steps", str(n_steps), "--steps-per-checkpoint", "1",
+        "--learning-rate", "3e-4",
+    ] + common_flags(root, "killmp")
+    port = free_port()
+    log_prefix = os.path.join(root, "killmp")
+    procs, files = [], []
+    try:
+        for pid in (0, 1):
+            env = base_env(4)
+            env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+            env["JAX_NUM_PROCESSES"] = "2"
+            env["JAX_PROCESS_ID"] = str(pid)
+            f = open(f"{log_prefix}.p{pid}.log", "w")
+            files.append(f)
+            procs.append(
+                subprocess.Popen(
+                    [sys.executable, "-u", worker] + args,
+                    env=env, stdout=f, stderr=subprocess.STDOUT, cwd=REPO,
+                )
+            )
+        # SIGTERM worker 1 the moment its first loss line lands
+        p1_log = f"{log_prefix}.p1.log"
+        deadline = time.time() + 600
+        while time.time() < deadline and procs[1].poll() is None:
+            with open(p1_log) as f:
+                if "average loss" in f.read():
+                    break
+            time.sleep(0.005)
+        if procs[1].poll() is None:
+            procs[1].terminate()  # SIGTERM: the eviction signal
+        try:
+            procs[1].wait(timeout=60)
+        except subprocess.TimeoutExpired:
+            # the worker finishes its deferred stop and teardown (log
+            # asserted below) but jax.distributed's exit barrier blocks
+            # on the still-running peer; a real scheduler SIGKILLs when
+            # the grace period lapses — so does the drill
+            procs[1].kill()
+            procs[1].wait(timeout=60)
+        # the survivor is now blocked on collectives against a dead
+        # peer; a real scheduler tears the rest of the job down — give
+        # it a grace window to fail on its own, then kill by pid
+        try:
+            procs[0].wait(timeout=20)
+        except subprocess.TimeoutExpired:
+            procs[0].kill()
+            procs[0].wait(timeout=60)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for f in files:
+            f.close()
+    with open(p1_log) as f:
+        log1 = f.read()
+    if "distributed interrupt: skipping solo crash-save" not in log1:
+        return False  # the run finished before the SIGTERM landed; retry
+    # the deferred stop ran to the end of the executor before any kill:
+    # checkpoint manager closed, writer closed, control returned
+    assert "Done training -- step limit reached" in log1, log1[-2000:]
+
+    # relaunch the SAME job: both workers restore the last checkpoint
+    # every process committed cooperatively, and continue on-curve
+    out = run_two_process(
+        worker, args, os.path.join(root, "killmp_resume")
+    )
+    m = re.search(r"Restored model at step (\d+)", out)
+    assert m, out[-2000:]
+    k = int(m.group(1))
+    assert 1 <= k < n_steps, (k, log1[-1000:])
+    resumed = parse_losses(out)
+    # run-relative --max-steps: the relaunch runs k+1 .. k+n_steps; the
+    # uninterrupted baseline only covers steps up to n_steps, so compare
+    # the overlap
+    check_close(
+        f"kill/resume steps {k + 1}-{n_steps} (killed at cooperative "
+        f"step {k})",
+        resumed[: n_steps - k],
+        kill_base[k:],
+        0.05,
+    )
+    return True
+
+
 def check_close(name: str, got: list[float], want: list[float], tol: float):
     assert len(got) == len(want), (name, got, want)
     for g, w in zip(got, want):
@@ -316,6 +423,17 @@ def main() -> None:
         0.05,
     )
 
+    print("== 2-process worker SIGTERM + job relaunch ==", flush=True)
+    # distributed fault drill: evict one worker mid-train, tear the job
+    # down, relaunch, and the pair lands back on the uninterrupted loss
+    # curve (base_a + base_b ARE that curve: dp parity + resume parity
+    # proved above)
+    for _attempt in range(3):
+        if run_kill_resume_phase(worker, root, base_a + base_b, n_steps=6):
+            break
+    else:
+        raise RuntimeError("kill/resume: SIGTERM never landed mid-train")
+
     print("== 2-process evaluate (greedy, mixed corpus) ==", flush=True)
     # both runs restore the SAME checkpoint (the 2-process-trained one),
     # so per-row logits are identical and the global statistics must
@@ -343,7 +461,7 @@ def main() -> None:
 
     print(
         "PASS multiprocess drill: dp, checkpoint/resume, dp x tp, "
-        "mixed-bucket sync, grad-accum, evaluate"
+        "mixed-bucket sync, grad-accum, worker kill/resume, evaluate"
     )
 
 
