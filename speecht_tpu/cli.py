@@ -320,6 +320,11 @@ class CLI:
             "--population-size", dest="population_size", type=int, default=10
         )
         p.add_argument("--noise-std", dest="noise_std", type=float, default=0.5)
+        p.add_argument(
+            "--generations", dest="generations", type=int, default=0,
+            help="Stop after this many mutation/score iterations "
+            "(0 = run until interrupted, the reference behavior).",
+        )
         p.add_argument("--ui", dest="use_ui", action="store_true")
         p.add_argument("--step-count", dest="step_count", type=int, default=1)
         self._add_language_model_arguments(p)

@@ -157,6 +157,10 @@ class LanguageModelParameterSearch(Evaluation):
 
     def run(self, max_iterations: int | None = None):
         flags = self.flags
+        if max_iterations is None:
+            # CLI surface: `search --generations N` bounds the run
+            # (0 keeps the reference's run-until-interrupted behavior)
+            max_iterations = getattr(flags, "generations", 0) or None
         state, _tx = init_state(self.model, flags)
         ckpt = self.checkpoint_manager()
         state = ckpt.restore(state)
