@@ -109,6 +109,21 @@ def main():
             f"| {s['ckpt_mb']:.0f} |"
         )
 
+    # plateau-decay events: any lr drop between consecutive printed
+    # intervals (training.py::should_decay_learning_rate firing in a
+    # real run — the round-5 evidence item)
+    seq = [i for s in segs for i in s["intervals"]]
+    decays = [
+        (b["step"], a["lr"], b["lr"])
+        for a, b in zip(seq, seq[1:])
+        if b["lr"] < a["lr"]
+    ]
+    if decays:
+        print()
+        print("plateau lr-decay events:")
+        for step, before, after in decays:
+            print(f"  step {step}: {before:.2e} -> {after:.2e}")
+
     traj = by.get("dev_greedy", [])
     if traj:
         print()
@@ -133,6 +148,14 @@ def main():
             f"\nfinal held-out test @ step {f['steps']}: "
             f"LER {f['test_ler']:.4f} WER {f['test_wer']:.4f}"
         )
+        if "test_beam_lm_wer" in f:  # hard-mode LM-fusion delta
+            print(
+                f"final held-out test, device-beam+LM: "
+                f"LER {f['test_beam_lm_ler']:.4f} "
+                f"WER {f['test_beam_lm_wer']:.4f} "
+                f"(greedy-relative WER delta "
+                f"{f['test_wer'] - f['test_beam_lm_wer']:+.4f})"
+            )
 
 
 if __name__ == "__main__":
