@@ -365,3 +365,12 @@ class Evaluation(DatasetExecutor):
     def print_global_statistics(stats: EvalStatistics):
         print("Global statistics")
         print(stats.summary())
+        # 4-decimal twin for scripted consumers: at an error floor the
+        # LM-fusion delta can be smaller than the reference-parity
+        # 2-decimal summary resolves (the soak/search drills parse this)
+        print(
+            "precise: LER {:.4f} WER {:.4f}".format(
+                stats.global_letter_error_rate,
+                stats.global_word_error_rate,
+            )
+        )

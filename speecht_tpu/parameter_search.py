@@ -209,3 +209,18 @@ class LanguageModelParameterSearch(Evaluation):
             stdscr.refresh()
         else:
             print(candidate)
+            # 4-decimal twin for scripted consumers (the reference-parity
+            # line above rounds to 2 decimals, which cannot resolve
+            # improvements near an error floor)
+            print(
+                "candidate-precise: score {:.4f} lm_weight {:.4f} "
+                "wc_weight {:.4f} valid_wc_weight {:.4f} "
+                "LER {:.4f} WER {:.4f}".format(
+                    candidate.score,
+                    candidate.lm_weight,
+                    candidate.word_count_weight,
+                    candidate.valid_word_count_weight,
+                    candidate.stats.global_letter_error_rate,
+                    candidate.stats.global_word_error_rate,
+                )
+            )

@@ -41,9 +41,16 @@ _CAND_RE = re.compile(
     r"valid_wc_weight=(-?[\d.]+)\) has LER: ([\d.]+) WER: ([\d.]+)",
     re.M,
 )
+_CAND_PRECISE_RE = re.compile(
+    r"^candidate-precise: score (-?[\d.]+) lm_weight (-?[\d.]+) "
+    r"wc_weight (-?[\d.]+) valid_wc_weight (-?[\d.]+) "
+    r"LER ([\d.]+) WER ([\d.]+)",
+    re.M,
+)
 _GLOBAL_STATS_RE = re.compile(
     r"LED: ([\d.]+) LER: ([\d.]+) WED: ([\d.]+) WER: ([\d.]+)"
 )
+_PRECISE_STATS_RE = re.compile(r"precise: LER ([\d.]+) WER ([\d.]+)")
 
 
 def run_cli(argv) -> str:
@@ -70,6 +77,10 @@ def run_cli(argv) -> str:
 
 
 def parse_candidates(out: str) -> list[dict]:
+    # prefer the 4-decimal candidate-precise lines (parameter_search.py
+    # prints both); near an error floor the parity 2-decimal candidate
+    # lines collapse distinct scores onto one value
+    rx = _CAND_PRECISE_RE if _CAND_PRECISE_RE.search(out) else _CAND_RE
     return [
         {
             "score": float(m.group(1)),
@@ -79,11 +90,14 @@ def parse_candidates(out: str) -> list[dict]:
             "ler": float(m.group(5)),
             "wer": float(m.group(6)),
         }
-        for m in _CAND_RE.finditer(out)
+        for m in rx.finditer(out)
     ]
 
 
 def last_global_stats(out: str) -> tuple[float, float]:
+    p = _PRECISE_STATS_RE.findall(out)
+    if p:  # 4-decimal twin printed since round 5 (evaluation.py)
+        return float(p[-1][0]), float(p[-1][1])
     m = _GLOBAL_STATS_RE.findall(out)
     if not m:
         raise RuntimeError("no LED/LER/WED/WER line in evaluate output")

@@ -200,6 +200,7 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _GLOBAL_STATS_RE = re.compile(
     r"LED: ([\d.]+) LER: ([\d.]+) WED: ([\d.]+) WER: ([\d.]+)"
 )
+_PRECISE_STATS_RE = re.compile(r"precise: LER ([\d.]+) WER ([\d.]+)")
 
 
 def run_cli_subprocess(argv) -> str:
@@ -240,7 +241,12 @@ def run_cli_subprocess(argv) -> str:
 
 def parse_global_stats(out: str) -> tuple[float, float]:
     """(LER, WER) from evaluate stdout — the LAST stats line is the
-    'Global statistics' block's."""
+    'Global statistics' block's. Prefers the 4-decimal ``precise:`` twin
+    (evaluation.py) when present; falls back to the reference-parity
+    2-decimal summary for older outputs."""
+    p = _PRECISE_STATS_RE.findall(out)
+    if p:
+        return float(p[-1][0]), float(p[-1][1])
     m = _GLOBAL_STATS_RE.findall(out)
     if not m:
         raise RuntimeError("no LED/LER/WED/WER line in evaluate output")
