@@ -779,12 +779,26 @@ main([
         text=True,
         env=env,
     )
-    # give it time to compile and take a few steps, then preempt
+    # wait until the loop has actually started (a fixed sleep flakes when
+    # the single host core is contended and 20 s isn't enough to even
+    # finish imports): "Begin training" prints right before the SIGTERM
+    # handler installs, then a short grace covers handler + first step.
     deadline = time_mod.time() + 240
     run_dir = workdir / "train" / "e2e-term"
-    time_mod.sleep(20)
+    head = []
+    for line in proc.stdout:
+        head.append(line)
+        if "Begin training" in line:
+            break
+        assert time_mod.time() < deadline, "".join(head)[-2000:]
+    else:
+        raise AssertionError(
+            "child exited before training began:\n" + "".join(head)[-2000:]
+        )
+    time_mod.sleep(5)
     proc.send_signal(signal.SIGTERM)
     out, _ = proc.communicate(timeout=deadline - time_mod.time())
+    out = "".join(head) + out
     assert "Interrupted -- saving checkpoint before exit" in out, out[-2000:]
     assert proc.returncode == 0, out[-2000:]
 
