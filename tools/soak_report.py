@@ -93,14 +93,16 @@ def main():
             "stalls (n / s) | ckpt MB |"
         )
         print("|---|---|---|---|---|---|---|---|")
-    for s in segs:
+    # renumber sequentially: each soak invocation restarts its segment
+    # counter, so an appended continuation run would repeat "seg 1"
+    for seg_no, s in enumerate(segs, start=1):
         times = [i["step_time_s"] for i in s["intervals"]]
         losses = [i["loss"] for i in s["intervals"]]
         lrs = [i["lr"] for i in s["intervals"]]
         stall_n = sum(e["n"] for e in s["stall_events"])
         stall_s = sum(e["s"] for e in s["stall_events"])
         print(
-            f"| {s['segment']} | {s['target_step']} "
+            f"| {seg_no} | {s['target_step']} "
             f"| {s['wall_s'] / 60:.1f} min "
             f"| {pct(times, 0.5):.3f} / {pct(times, 0.95):.3f} "
             f"| {losses[-1] if losses else float('nan'):.2f} "
