@@ -172,6 +172,12 @@ def test_evaluate(workdir, capsys):
     assert "Global statistics" in out
     # the expected transcript is the fixture's text
     assert "in the silence their dark fire kindled the dusk into a tawny glow" in out
+    # 4-decimal stats twin: tools/{hard_search_drill,librispeech_scale_soak}
+    # parse this exact format — the 2-decimal parity summary can't resolve
+    # deltas near the hard-corpus error floor
+    import re
+
+    assert re.search(r"^precise: LER \d\.\d{4} WER \d\.\d{4}$", out, re.M), out
 
 
 def _write_lm(workdir):
@@ -355,6 +361,18 @@ def test_parameter_search(workdir, capsys):
     assert scores == sorted(scores)
     out = capsys.readouterr().out
     assert "Candidate" in out
+    # 4-decimal candidate twin: tools/hard_search_drill.py parses this
+    # exact format (near an error floor the 2-decimal parity candidate
+    # lines collapse distinct scores onto one value)
+    import re
+
+    assert re.search(
+        r"^candidate-precise: score -?\d+\.\d{4} lm_weight -?\d+\.\d{4} "
+        r"wc_weight -?\d+\.\d{4} valid_wc_weight -?\d+\.\d{4} "
+        r"LER \d\.\d{4} WER \d\.\d{4}$",
+        out,
+        re.M,
+    ), out
 
 
 def test_parameter_search_ui(workdir, monkeypatch):
