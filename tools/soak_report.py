@@ -59,9 +59,17 @@ def pct(xs, q):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="/root/soak")
+    ap.add_argument(
+        "--out",
+        default="/root/soak",
+        help="soak run directory, or a soak_log.jsonl path directly "
+        "(e.g. the committed copy docs/records/soak_log.jsonl)",
+    )
     args = ap.parse_args()
-    recs = load(os.path.join(args.out, "soak_log.jsonl"))
+    path = args.out
+    if not path.endswith(".jsonl"):
+        path = os.path.join(path, "soak_log.jsonl")
+    recs = load(path)
 
     by = {}
     for r in recs:
