@@ -228,21 +228,26 @@ class Training(DatasetExecutor):
             for sig, handler in prev_handlers:
                 signal.signal(sig, handler)
             interrupted = getattr(self, "_stop_requested", False)
-            if interrupted and jax.process_count() > 1:
-                # one evicted worker cannot crash-save a distributed
-                # checkpoint alone: the orbax commit is a cross-process
-                # barrier, and the signal lands at a different step on
-                # each worker, so a solo save would deadlock against
-                # peers that are still training (or already gone).
-                # Recovery = relaunch the job; every periodic checkpoint
-                # in the loop was written cooperatively by all processes
-                # at the same step label, so the pair restores from the
-                # last complete one (drilled in
-                # tools/multiprocess_drill.py).
+            import sys as _sys
+
+            crashing = _sys.exc_info()[0] is not None
+            if (interrupted or crashing) and jax.process_count() > 1:
+                # one evicted (or crashing) worker cannot crash-save a
+                # distributed checkpoint alone: the orbax commit is a
+                # cross-process barrier, and the signal/exception lands
+                # at a different step on each worker, so a solo save
+                # would deadlock against peers that are still training
+                # (or already gone) — and on the exception path it would
+                # hang this worker inside finally instead of letting the
+                # error propagate. Recovery = relaunch the job; every
+                # periodic checkpoint in the loop was written
+                # cooperatively by all processes at the same step label,
+                # so the pair restores from the last complete one
+                # (drilled in tools/multiprocess_drill.py).
                 print(
-                    "distributed interrupt: skipping solo crash-save; "
-                    f"relaunch resumes from cooperative checkpoint step "
-                    f"{ckpt.latest_step()}",
+                    "distributed interrupt/crash: skipping solo "
+                    f"crash-save; relaunch resumes from cooperative "
+                    f"checkpoint step {ckpt.latest_step()}",
                     flush=True,
                 )
             else:
