@@ -299,7 +299,7 @@ def run_kill_resume_phase(worker: str, root: str, kill_base: list[float],
             f.close()
     with open(p1_log) as f:
         log1 = f.read()
-    if "distributed interrupt: skipping solo crash-save" not in log1:
+    if "distributed interrupt/crash: skipping solo crash-save" not in log1:
         return False  # the run finished before the SIGTERM landed; retry
     # the deferred stop ran to the end of the executor before any kill:
     # checkpoint manager closed, writer closed, control returned
